@@ -1,0 +1,96 @@
+"""Headline benchmark: fitness evaluations/hour on 2D Poisson.
+
+Protocol (mirrors the reference's evaluation loop, BASELINE.md):
+  * problem: 2D FD Poisson, minLevel 5, maxLevel 9 (512² finest grid) —
+    the reference's default configuration,
+  * a fixed, seeded set of random grammar individuals (depth 4, the full
+    hierarchy) is compiled and evaluated exactly as during evolution:
+    jit-lower the cycle, run to the residual target (cap 500 iterations),
+    measure ρ and time/iteration with 3 timing samples,
+  * metric = evaluated individuals per hour, including XLA compile time
+    (the reference's per-individual cost is dominated by its compile
+    pipeline: ExaStencils java codegen + make, tens of seconds each).
+
+Baseline: the ExaStencils+MPI pipeline costs ≥40 s/individual on the
+reference's commodity 6-core machine (java codegen ~20 s + make -j10
+~12 s + 3 solver runs; subprocess budgets in
+code_generation/exastencils.py:42-51 allow up to 720 s) → ≤90 evals/hour
+per rank.  vs_baseline reports our evals/hour ÷ 90 (so ≥20× is the
+BASELINE.json north-star).
+"""
+
+import json
+import random
+import time
+
+
+BASELINE_EVALS_PER_HOUR = 90.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+    from evostencils_tpu.grammar import gp
+    from evostencils_tpu.grammar.multigrid import generate_primitive_set
+    from evostencils_tpu.problems.poisson import poisson_2d
+
+    problem = poisson_2d(min_level=5, max_level=9, dtype=jnp.float32)
+    pset, _ = generate_primitive_set(
+        problem.approximation(),
+        problem.rhs(),
+        problem.dimension,
+        problem.coarsening_factors,
+        problem.max_level,
+        problem.equations,
+        problem.operators,
+        problem.fields,
+        depth=4,
+        maximum_local_system_size=8,
+    )
+    generator = JaxProgramGenerator(problem, dtype=jnp.float32, iteration_limit=500)
+
+    rng = random.Random(20260816)
+    n_individuals = 16
+    individuals = [gp.gen_grow(pset, 2, 16, rng=rng) for _ in range(n_individuals)]
+
+    # Warmup: one evaluation outside the timed window primes the XLA
+    # backend (first-compile overheads that amortize across a real run).
+    warm = gp.gen_grow(pset, 2, 10, rng=rng)
+    expr, _ = gp.compile_tree(warm, pset)
+    generator.generate_and_evaluate(expr, evaluation_samples=1)
+
+    start = time.perf_counter()
+    results = []
+    for ind in individuals:
+        expr, _ = gp.compile_tree(ind, pset)
+        t, rho, iters = generator.generate_and_evaluate(expr, evaluation_samples=3)
+        results.append((t, rho, iters))
+    elapsed = time.perf_counter() - start
+
+    evals_per_hour = n_individuals / elapsed * 3600.0
+    converged = sum(1 for _, rho, _ in results if rho < 1.0)
+    best_rho = min(rho for _, rho, _ in results)
+
+    print(
+        json.dumps(
+            {
+                "metric": "fitness_evals_per_hour_2d_poisson_512",
+                "value": round(evals_per_hour, 1),
+                "unit": "evals/hour",
+                "vs_baseline": round(evals_per_hour / BASELINE_EVALS_PER_HOUR, 2),
+                "extra": {
+                    "n_individuals": n_individuals,
+                    "converged": converged,
+                    "best_rho": round(best_rho, 5),
+                    "elapsed_s": round(elapsed, 2),
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

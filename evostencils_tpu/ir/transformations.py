@@ -1,0 +1,135 @@
+"""IR analysis passes (reference ir/transformations.py:6-145).
+
+The reference's sympy-based local-system extraction existed to emit
+ExaSlang `solve locally` text; the TPU backend instead assembles local
+system matrices numerically (ops/local_solve.py), so the passes kept here
+are the structural ones: iterate lookup, coarsest-level computation,
+cache invalidation, and a canonical string used as XLA compile-cache key.
+"""
+
+from __future__ import annotations
+
+from evostencils_tpu.ir import base, system
+
+
+def obtain_iterate(expression: base.Expression):
+    if isinstance(expression, base.BinaryExpression):
+        return obtain_iterate(expression.operand2)
+    if isinstance(expression, (base.Approximation, system.Approximation)):
+        return expression
+    return None
+
+
+def obtain_coarsest_level(cycle: base.Cycle) -> int:
+    """Number of distinct coarsenings below the cycle's own grid."""
+
+    def grid_size(expr):
+        g = expr.grid
+        if isinstance(g, list):
+            return tuple(gg.size for gg in g)
+        return g.size
+
+    def descend(expression, current_size, current_level):
+        if isinstance(expression, base.Cycle):
+            if grid_size(expression) < current_size:
+                new_size, new_level = grid_size(expression), current_level + 1
+            else:
+                new_size, new_level = current_size, current_level
+            return max(
+                descend(expression.approximation, new_size, new_level),
+                descend(expression.correction, new_size, new_level),
+            )
+        if isinstance(expression, base.Residual):
+            return max(
+                descend(expression.approximation, current_size, current_level),
+                descend(expression.rhs, current_size, current_level),
+            )
+        if isinstance(expression, base.BinaryExpression):
+            return max(
+                descend(expression.operand1, current_size, current_level),
+                descend(expression.operand2, current_size, current_level),
+            )
+        if isinstance(expression, (base.UnaryExpression, base.Scaling)):
+            return descend(expression.operand, current_size, current_level)
+        if isinstance(expression, (base.Entity, system.System)):
+            return current_level
+        raise RuntimeError(f"Unexpected expression {type(expression)}")
+
+    return descend(cycle, grid_size(cycle), 0) + 1
+
+
+def invalidate_expression(expression: base.Expression):
+    """Clear analysis caches bottom-up (before pickling checkpoints)."""
+    if expression is not None:
+        expression.analysis_cache.clear()
+        expression.mutate(invalidate_expression)
+
+
+def canonical_string(expression) -> str:
+    """Structural fingerprint for compile-cache keys.
+
+    Two cycles with the same canonical string lower to the same jitted
+    function (same sequence of kernels / relaxation factors / partitions),
+    so sharing it as a cache key eliminates duplicate XLA compilations —
+    the TPU analog of the reference's str(tree) fitness cache
+    (reference optimization/program.py:188-204).
+
+    The string is emitted in SSA form (one numbered line per distinct DAG
+    node, children referenced by id): cycle IRs share subexpressions
+    heavily through the approximation chain, so a naive nested expansion
+    would be exponentially long in the number of smoothing steps.
+    """
+    memo = {}
+    lines = []
+
+    def _grid_tag(e):
+        g = e.grid
+        if isinstance(g, list):
+            return ",".join(str(gg.level) for gg in g)
+        return str(g.level)
+
+    def emit(s: str) -> str:
+        name = f"%{len(lines)}"
+        lines.append(f"{name}={s}")
+        return name
+
+    def walk(e) -> str:
+        key = id(e)
+        if key in memo:
+            return memo[key]
+        if isinstance(e, base.Cycle):
+            s = (
+                f"Cycle[{e.relaxation_factor};{e.partitioning.get_name()}]"
+                f"({walk(e.approximation)},{walk(e.rhs)},{walk(e.correction)})"
+            )
+        elif isinstance(e, base.Residual):
+            s = f"Res({walk(e.operator)},{walk(e.approximation)},{walk(e.rhs)})"
+        elif isinstance(e, system.Jacobian):
+            s = f"Jac[{e.n_newton_steps}]({walk(e.operand)})"
+        elif isinstance(e, base.BlockDiagonal):
+            s = f"BlockDiag[{e.block_size}]({walk(e.operand)})"
+        elif isinstance(e, base.Scaling):
+            s = f"Scale[{e.factor}]({walk(e.operand)})"
+        elif isinstance(e, base.CoarseGridSolver):
+            solver_expr = e.expression
+            if solver_expr is not None and not isinstance(solver_expr, base.Expression):
+                # Adapter (e.g. NestedCycleSolver) wrapping an inner cycle.
+                solver_expr = getattr(solver_expr, "expression", None)
+            inner = "" if solver_expr is None else f";{walk(solver_expr)}"
+            s = f"CGS({walk(e.operator)}{inner})"
+        elif isinstance(e, base.BinaryExpression):
+            s = f"{type(e).__name__}({walk(e.operand1)},{walk(e.operand2)})"
+        elif isinstance(e, base.UnaryExpression):
+            s = f"{type(e).__name__}({walk(e.operand)})"
+        elif isinstance(e, (system.System, base.Entity)):
+            # Leaves are referenced inline — short and frequently shared.
+            memo[key] = f"{type(e).__name__}[{e.name}@{_grid_tag(e)}]"
+            return memo[key]
+        else:
+            s = f"{type(e).__name__}"
+        memo[key] = emit(s)
+        return memo[key]
+
+    root = walk(expression)
+    lines.append(f"ret={root}")
+    return ";".join(lines)

@@ -1,0 +1,179 @@
+"""Problem specification API.
+
+Replaces the reference's ExaSlang DSL files + parser
+(example_problems/*.exa2/.exa3 + code_generation/parser.py): a problem is
+declared directly in Python as sympy equations over named operators with
+stencil generators, a level range, and a right-hand side.  Everything the
+grammar needs (EquationInfo / OperatorInfo / fields) and everything the
+backend needs (grids, system operator, RHS arrays) derives from here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import sympy
+
+from evostencils_tpu.grammar import multigrid as mg
+from evostencils_tpu.ir import base, system
+
+
+def make_grid(level: int, dimension: int) -> base.Grid:
+    n = 2**level
+    return base.Grid((n,) * dimension, (1.0 / n,) * dimension, level)
+
+
+class Problem:
+    """A PDE problem over a level hierarchy.
+
+    operator_factories: dict name -> (stencil_generator_factory(level),
+    operator_type); instantiated per level [min_level, max_level].
+    equations: list of (name, "lhs == rhs") strings using operator/field names.
+    rhs_functions: per-field callable f(x0, x1, ...) -> numpy array (vectorized).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        dimension: int,
+        min_level: int,
+        max_level: int,
+        fields: Sequence[str],
+        equation_strings: Sequence[Tuple[str, str]],
+        operator_factories: Dict[str, Tuple[Callable, type]],
+        rhs_functions: Optional[Sequence[Callable]] = None,
+        dtype=jnp.float32,
+        parameters: Optional[Dict] = None,
+        uses_fas: bool = False,
+    ):
+        self.name = name
+        self.dimension = dimension
+        self.min_level = min_level
+        self.max_level = max_level
+        self.field_names = list(fields)
+        self.fields = [sympy.Symbol(f) for f in fields]
+        self.equation_strings = list(equation_strings)
+        self.operator_factories = dict(operator_factories)
+        self.rhs_functions = rhs_functions
+        self.dtype = dtype
+        self.parameters = dict(parameters or {})
+        self.uses_fas = uses_fas
+        self.coarsening_factors = [(2,) * dimension for _ in self.fields]
+        self._build()
+
+    def _build(self):
+        self.equations: List[mg.EquationInfo] = []
+        self.operators: List[mg.OperatorInfo] = []
+        for level in range(self.min_level, self.max_level + 1):
+            for eq_name, expr in self.equation_strings:
+                self.equations.append(mg.EquationInfo(eq_name, level, expr))
+            for op_name, (factory, op_type) in self.operator_factories.items():
+                self.operators.append(
+                    mg.OperatorInfo(op_name, level, factory(level, self.parameters), op_type)
+                )
+        # Associate each equation with its field in declaration order
+        # (reference parser.py:86-96 uses name conventions; we use order).
+        for level in range(self.min_level, self.max_level + 1):
+            eqs = [e for e in self.equations if e.level == level]
+            for eq, field in zip(eqs, self.fields):
+                eq.associated_field = field
+
+    # ---- derived structures ----
+
+    @property
+    def finest_grid(self) -> List[base.Grid]:
+        return [make_grid(self.max_level, self.dimension) for _ in self.fields]
+
+    def grid_at(self, level: int) -> List[base.Grid]:
+        return [make_grid(level, self.dimension) for _ in self.fields]
+
+    def approximation(self) -> system.Approximation:
+        return system.Approximation(
+            "u",
+            [base.Approximation(fn, g) for fn, g in zip(self.field_names, self.finest_grid)],
+        )
+
+    def rhs(self) -> system.RightHandSide:
+        return system.RightHandSide(
+            "f",
+            [base.RightHandSide(f"{fn}_rhs", g) for fn, g in zip(self.field_names, self.finest_grid)],
+        )
+
+    def finest_operator(self) -> system.Operator:
+        return mg.generate_system_operator(
+            self.equations, self.operators, self.fields, self.max_level, 0, self.finest_grid
+        )
+
+    def interior_coordinates(self, level: int):
+        n = 2**level
+        axes = [np.arange(1, n) / n for _ in range(self.dimension)]
+        return np.meshgrid(*axes, indexing="ij")
+
+    def rhs_arrays(self, dtype, level: Optional[int] = None) -> Tuple:
+        mesh = self.interior_coordinates(level if level is not None else self.max_level)
+        out = []
+        for i, _ in enumerate(self.fields):
+            if self.rhs_functions is None:
+                fn = None
+            else:
+                fn = self.rhs_functions[i]
+            if fn is None:
+                out.append(jnp.zeros(mesh[0].shape, dtype=dtype))
+            else:
+                out.append(jnp.asarray(fn(*mesh), dtype=dtype))
+        return tuple(out)
+
+    def initial_state(self, dtype, level: Optional[int] = None) -> Tuple[Tuple, Tuple]:
+        """(u0, f): zero initial guess, evaluated right-hand side.
+
+        With a zero RHS the residual would be identically zero, so problems
+        without an RHS function get a fixed pseudo-random f (seeded) —
+        equivalent for convergence-factor measurement.
+        """
+        grids = self.finest_grid if level is None else self.grid_at(level)
+        shapes = [g.interior_shape for g in grids]
+        u0 = tuple(jnp.zeros(s, dtype=dtype) for s in shapes)
+        if self.rhs_functions is not None:
+            f = self.rhs_arrays(dtype, level=level)
+        else:
+            rng = np.random.default_rng(42)
+            f = tuple(
+                jnp.asarray(rng.standard_normal(s), dtype=dtype) for s in shapes
+            )
+        return u0, f
+
+    # ---- reconfiguration ----
+
+    def with_levels(self, min_level: int, max_level: int) -> "Problem":
+        return Problem(
+            self.name,
+            self.dimension,
+            min_level,
+            max_level,
+            self.field_names,
+            self.equation_strings,
+            self.operator_factories,
+            self.rhs_functions,
+            self.dtype,
+            self.parameters,
+            self.uses_fas,
+        )
+
+    def with_parameters(self, updates: Dict) -> "Problem":
+        params = dict(self.parameters)
+        params.update(updates)
+        return Problem(
+            self.name,
+            self.dimension,
+            self.min_level,
+            self.max_level,
+            self.field_names,
+            self.equation_strings,
+            self.operator_factories,
+            self.rhs_functions,
+            self.dtype,
+            params,
+            self.uses_fas,
+        )

@@ -1,0 +1,222 @@
+"""Golden numerics tests: IR lowering against textbook multigrid behavior."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+from evostencils_tpu.backend.lowering import CycleLowering
+from evostencils_tpu.grammar.multigrid import generate_primitive_set
+from evostencils_tpu.ir import base, partitioning as part, reference_cycles, smoother
+from evostencils_tpu.ops import intergrid, stencil_ops as sops
+from evostencils_tpu.problems.poisson import poisson_2d, poisson_2d_variable, poisson_3d
+from evostencils_tpu.stencils import constant, gallery
+
+
+def build_pset(problem, depth):
+    return generate_primitive_set(
+        problem.approximation(),
+        problem.rhs(),
+        problem.dimension,
+        problem.coarsening_factors,
+        problem.max_level,
+        problem.equations,
+        problem.operators,
+        problem.fields,
+        depth=depth,
+        maximum_local_system_size=4,
+    )
+
+
+class TestStencilApply:
+    def test_laplace_of_sine_is_eigenfunction(self):
+        # A sin(pi x)sin(pi y) is an eigenvector of the discrete Laplacian.
+        level = 5
+        n = 2**level
+        h = 1.0 / n
+        x = np.arange(1, n) * h
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        u = jnp.asarray(np.sin(np.pi * X) * np.sin(np.pi * Y))
+        grid = base.Grid((n, n), (h, h), level)
+        stencil = gallery.Poisson2D().generate_stencil(grid)
+        out = sops.apply_constant_stencil(u, stencil)
+        eig = 8.0 / (h * h) * np.sin(np.pi * h / 2) ** 2  # both axes contribute
+        np.testing.assert_allclose(np.asarray(out), eig * np.asarray(u), rtol=1e-9)
+
+    def test_restrict_prolong_adjointness(self):
+        # Full-weighting R = (1/2^d) P^T: check <P uc, uf> == 2^d <uc, R uf>.
+        rng = np.random.default_rng(0)
+        fine_shape, coarse_shape = (15, 15), (7, 7)
+        uf = jnp.asarray(rng.standard_normal(fine_shape))
+        uc = jnp.asarray(rng.standard_normal(coarse_shape))
+        p_stencil = gallery.multilinear_interpolation_stencil(2)
+        r_stencil = gallery.full_weighting_restriction_stencil(2)
+        Puc = intergrid.prolong(uc, p_stencil, fine_shape, (2, 2))
+        Ruf = intergrid.restrict(uf, r_stencil, coarse_shape, (2, 2))
+        lhs = float(jnp.sum(Puc * uf))
+        rhs = 4.0 * float(jnp.sum(uc * Ruf))
+        assert abs(lhs - rhs) < 1e-9
+
+    def test_prolong_of_constant_interior(self):
+        # Bilinear interpolation reproduces constants away from boundary.
+        uc = jnp.ones((7, 7))
+        p_stencil = gallery.multilinear_interpolation_stencil(2)
+        out = np.asarray(intergrid.prolong(uc, p_stencil, (15, 15), (2, 2)))
+        np.testing.assert_allclose(out[2:-2, 2:-2], 1.0, atol=1e-12)
+
+
+class TestCycles:
+    def test_two_grid_v22_rbgs(self):
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        cycle = reference_cycles.generate_v_22_cycle_two_grid(
+            terminals[0], problem.rhs()
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho < 0.05
+        assert iters < 15
+
+    def test_three_grid_v22(self):
+        problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=2)
+        cycle = reference_cycles.generate_v_22_cycle_three_grid(
+            terminals[0], terminals[1], problem.rhs()
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho < 0.1
+
+    def test_jacobi_smoother_only_diverges_slowly(self):
+        # Pure damped Jacobi: ρ = 1 - O(h²); must be < 1 but near 1.
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+        res = base.Residual(A, u, f)
+        corr = base.Multiplication(
+            base.Inverse(smoother.generate_collective_jacobi(A)), res
+        )
+        cycle = base.Cycle(u, f, corr, partitioning=part.Single, relaxation_factor=0.8)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64, iteration_limit=60)
+        _, rho, _ = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        h = 2.0**-5
+        expected = 1 - 0.8 * (1 - np.cos(np.pi * h))  # smooth-mode damping
+        assert rho < 1.0
+        assert abs(rho - expected) < 0.02
+
+    def test_omega_jacobi_optimal_damping(self):
+        # ω=0.8 damped Jacobi V(1,1)-free smoother factor sanity: the
+        # measured ρ of a two-grid with 1 pre-smooth should be around the
+        # textbook smoothing factor ~0.6 (loose bounds).
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+        res = base.Residual(A, u, f)
+        corr = base.Multiplication(
+            base.Inverse(smoother.generate_collective_jacobi(A)), res
+        )
+        u1 = base.Cycle(u, f, corr, partitioning=part.Single, relaxation_factor=0.8)
+        res1 = base.Residual(A, u1, f)
+        f_c = base.Multiplication(t0.restriction, res1)
+        cgc = base.Multiplication(base.CoarseGridSolver("CGS", t0.coarse_operator), f_c)
+        corr1 = base.Multiplication(t0.prolongation, cgc)
+        cycle = base.Cycle(u1, f, corr1, relaxation_factor=1.0)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho, _ = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert 0.3 < rho < 0.75
+
+    def test_three_d_two_grid(self):
+        problem = poisson_3d(min_level=2, max_level=3, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        cycle = reference_cycles.generate_v_22_cycle_two_grid(
+            terminals[0], problem.rhs()
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho, _ = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho < 0.1
+
+    def test_variable_coefficient_two_grid(self):
+        problem = poisson_2d_variable(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        cycle = reference_cycles.generate_v_22_cycle_two_grid(
+            terminals[0], problem.rhs()
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho, _ = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho < 0.2
+
+    def test_fas_two_grid_on_linear_problem(self):
+        # On a linear problem FAS must reproduce the plain CGC result.
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        fas = reference_cycles.generate_fas_v_22_cycle_two_grid(
+            terminals[0], problem.rhs()
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho_fas, _ = gen.generate_and_evaluate(fas, evaluation_samples=1)
+        plain = reference_cycles.generate_v_22_cycle_two_grid(
+            terminals[0], problem.rhs()
+        )
+        _, rho_plain, _ = gen.generate_and_evaluate(plain, evaluation_samples=1)
+        assert rho_fas < 0.1
+        assert abs(rho_fas - rho_plain) < 0.05
+
+    def test_red_black_beats_plain_jacobi(self):
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+
+        def vcycle(partitioning, omega):
+            return reference_cycles.generate_v_22_cycle_two_grid(
+                terminals[0], problem.rhs(), omega=omega, partitioning=partitioning
+            )
+
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho_rb, _ = gen.generate_and_evaluate(vcycle(part.RedBlack, 1.0), evaluation_samples=1)
+        _, rho_j, _ = gen.generate_and_evaluate(vcycle(part.Single, 0.8), evaluation_samples=1)
+        assert rho_rb < rho_j
+
+
+class TestBlockSmoother:
+    def test_block_jacobi_two_grid(self):
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+
+        def smooth(u, steps):
+            for _ in range(steps):
+                res = base.Residual(A, u, f)
+                B = smoother.generate_collective_block_jacobi(A, ((2, 2),))
+                corr = base.Multiplication(base.Inverse(B), res)
+                u = base.Cycle(u, f, corr, partitioning=part.Single, relaxation_factor=0.9)
+            return u
+
+        u1 = smooth(u, 2)
+        res = base.Residual(A, u1, f)
+        f_c = base.Multiplication(t0.restriction, res)
+        cgc = base.Multiplication(base.CoarseGridSolver("CGS", t0.coarse_operator), f_c)
+        corr = base.Multiplication(t0.prolongation, cgc)
+        u2 = base.Cycle(u1, f, corr, relaxation_factor=1.0)
+        u3 = smooth(u2, 2)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho, _ = gen.generate_and_evaluate(u3, evaluation_samples=1)
+        assert rho < 0.3
+
+    def test_block_solve_is_exact_on_block_system(self):
+        """2x2 block Jacobi with the full operator being block-diagonal
+        must solve in one step (ρ ≈ 0 up to roundoff)."""
+        from evostencils_tpu.ops.smoothers import build_block_solve_spec
+        from evostencils_tpu.stencils import periodic as per
+
+        grid = base.Grid((8, 8), (0.125, 0.125), 3)
+        stencil = gallery.Poisson2D().generate_stencil(grid)
+        bd = per.block_diagonal(stencil, (2, 2))
+        spec = build_block_solve_spec([[bd]], [(2, 2)], (8, 8), jnp.float64)
+        rng = np.random.default_rng(3)
+        r = (jnp.asarray(rng.standard_normal((8, 8))),)
+        corr = spec.apply(r)[0]
+        # verify B corr == r where B is the block-diagonal operator
+        back = sops.apply_periodic_stencil(corr, bd)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(r[0]), rtol=1e-10)
