@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from evostencils_tpu.backend.lowering import CycleLowering
 from evostencils_tpu.ir import base, system
-from evostencils_tpu.ir.transformations import canonical_string
+from evostencils_tpu.ir.transformations import canonical_string, collect_cycles
 from evostencils_tpu.ops import stencil_ops as sops
 
 
@@ -66,23 +66,29 @@ class JaxProgramGenerator:
         self,
         problem,
         dtype=None,
-        epsilon: float = 1e-12,
-        iteration_limit: int = 500,
+        epsilon: Optional[float] = None,
+        iteration_limit: Optional[int] = None,
         measure_reduction: Optional[float] = None,
         timing_iterations: int = 10,
         device=None,
     ):
         self.problem = problem
         self.dtype = dtype if dtype is not None else problem.dtype
-        self.epsilon = epsilon
-        self.iteration_limit = iteration_limit
+        self.epsilon = (
+            epsilon if epsilon is not None else getattr(problem, "residual_target", 1e-12)
+        )
+        self.iteration_limit = (
+            iteration_limit
+            if iteration_limit is not None
+            else getattr(problem, "iteration_limit", 500)
+        )
         if measure_reduction is None:
             # f64 (CPU tests with jax_enable_x64) can run the full target.
             is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (
                 jnp.float64,
                 jnp.complex128,
             )
-            measure_reduction = epsilon if is_f64 else 1e-6
+            measure_reduction = self.epsilon if is_f64 else max(self.epsilon, 1e-6)
         self.measure_reduction = measure_reduction
         self.timing_iterations = timing_iterations
         self.device = device
@@ -158,10 +164,18 @@ class JaxProgramGenerator:
         return grids[0].level
 
     def _build_solver(self, expression):
-        key = canonical_string(expression)
+        """Structural compile cache: the key abstracts over relaxation
+        factors (they enter as a traced vector argument), so mutations
+        that only retune ω reuse the same XLA executable — the
+        structural-interpreter strategy replacing the reference's
+        per-individual java+make pipeline (SURVEY.md §7.4)."""
+        key = canonical_string(expression, parameterize_relaxation=True)
+        omega_values = [
+            float(c.relaxation_factor) for c in collect_cycles(expression)
+        ]
         if key in self._solver_cache:
-            return self._solver_cache[key]
-        step = self.lowering.lower(expression)
+            return self._solver_cache[key], omega_values, False
+        step, _ = self.lowering.lower_parameterized(expression)
         # The run's finest level is the expression's own grid level (it may
         # sit below problem.max_level during multi-run level splitting).
         from evostencils_tpu.grammar import multigrid as mg
@@ -176,6 +190,12 @@ class JaxProgramGenerator:
 
         cap = self.iteration_limit
         target = self.measure_reduction
+        # Pace-based early exit: an individual must reach the 1e-12 target
+        # within `iteration_limit` iterations to survive poisoning, i.e.
+        # sustain ρ ≤ ε^(1/cap).  Once it falls 10× behind that pace, no
+        # mild transient can save it — stop burning device time on it.
+        rho_required = self.epsilon ** (1.0 / cap)
+        grace = 10.0
 
         def residual_norm(u, f):
             return sops.l2_norm(
@@ -183,21 +203,27 @@ class JaxProgramGenerator:
             )
 
         @jax.jit
-        def solve(u0, f):
+        def solve(u0, f, omegas):
             res0 = residual_norm(u0, f)
 
             def cond(carry):
                 _, res, it = carry
                 ok = res > target * res0
                 not_diverged = res < 1e8 * res0
+                on_pace = jnp.logical_or(
+                    it < 25,
+                    res < grace * res0 * rho_required ** it.astype(res.dtype),
+                )
                 return jnp.logical_and(
                     jnp.logical_and(it < cap, ok),
-                    jnp.logical_and(not_diverged, jnp.isfinite(res)),
+                    jnp.logical_and(
+                        jnp.logical_and(not_diverged, jnp.isfinite(res)), on_pace
+                    ),
                 )
 
             def body(carry):
                 u, _, it = carry
-                u = step(u, f)
+                u = step(u, f, omegas)
                 return u, residual_norm(u, f), it + 1
 
             u, res, it = jax.lax.while_loop(
@@ -205,17 +231,100 @@ class JaxProgramGenerator:
             )
             return res, res0, it
 
-        k = self.timing_iterations
+        compiled = self._aot_compile(solve, expression, len(omega_values))
+        self._solver_cache[key] = compiled
+        return compiled, omega_values, True
+
+    def _aot_compile(self, solve, expression, n_omegas):
+        """Ahead-of-time compile for the run's input shapes: the cached
+        object is the XLA executable itself, so cache hits skip tracing
+        entirely (the TPU analog of reusing a built solver binary)."""
+        u0, f = self.problem.initial_state(
+            self.dtype, level=self._expression_level(expression)
+        )
+        omegas = jnp.zeros((n_omegas,), dtype=jnp.float32)
+        return solve.lower(u0, f, omegas).compile()
+
+    def precompile(self, expressions, max_workers: int = 8):
+        """Trace+compile distinct cycle structures concurrently.
+
+        XLA compilation is the per-individual cost that remains (the analog
+        of the reference's java+make, reference exastencils.py:381-415);
+        it runs on host threads, so a population's distinct structures
+        pipeline across a thread pool while the device stays busy
+        executing already-compiled individuals.
+        """
+        import concurrent.futures
+
+        distinct = {}
+        for expression in expressions:
+            key = canonical_string(expression, parameterize_relaxation=True)
+            if getattr(self.problem, "outer_solver", None):
+                key = "outer|" + key
+            if key not in self._solver_cache:
+                distinct.setdefault(key, expression)
+        if not distinct:
+            return 0
+
+        def build(expression):
+            # _build_solver AOT-compiles and inserts into the shared cache;
+            # failures are left for the evaluation call to poison.
+            try:
+                if getattr(self.problem, "outer_solver", None):
+                    self._build_outer_solver(expression)
+                else:
+                    self._build_solver(expression)
+            except Exception:
+                pass
+            return None
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers) as pool:
+            list(pool.map(build, distinct.values()))
+        return len(distinct)
+
+    def _build_outer_solver(self, expression):
+        """Helmholtz-style evaluation: the evolved cycle preconditions a
+        BiCGStab run on the outer operator (reference exa3
+        PreconditionedBiCGStab + exastencils.py:518-535 ladder protocol)."""
+        key = "outer|" + canonical_string(expression, parameterize_relaxation=True)
+        omega_values = [float(c.relaxation_factor) for c in collect_cycles(expression)]
+        if key in self._solver_cache:
+            return self._solver_cache[key], omega_values, False
+        from evostencils_tpu.ops import krylov
+
+        step, _ = self.lowering.lower_parameterized(expression)
+        level = self._expression_level(expression)
+        grids = expression.grid if isinstance(expression.grid, list) else [expression.grid]
+        spec = self.problem.outer_solver
+        outer_entry = base.Operator(
+            "A_outer", grids[0], spec["operator_factory"](level, self.problem.parameters)
+        )
+        outer_operator = system.Operator("A_outer", [[outer_entry]])
+        lowering = self.lowering
+        target = spec["target_reduction"]
+        is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (jnp.float64, jnp.complex128)
+        if not is_f64:
+            target = max(target, 1e-6)
+        max_iterations = spec["max_iterations"]
+
+        def apply_a(state):
+            return lowering.system_apply(outer_operator, state)
 
         @jax.jit
-        def iterate_k(u0, f):
-            def body(_, u):
-                return step(u, f)
+        def solve(u0, f, omegas):
+            def apply_m(state):
+                zeros = tuple(jnp.zeros_like(x) for x in state)
+                return step(zeros, state, omegas)
 
-            return jax.lax.fori_loop(0, k, body, u0)
+            x, it, res = krylov.preconditioned_bicgstab(
+                apply_a, apply_m, f, max_iterations, target
+            )
+            res0 = sops.l2_norm(f)
+            return res, res0, it
 
-        self._solver_cache[key] = (solve, iterate_k)
-        return self._solver_cache[key]
+        compiled = self._aot_compile(solve, expression, len(omega_values))
+        self._solver_cache[key] = compiled
+        return compiled, omega_values, True
 
     def generate_and_evaluate(
         self,
@@ -232,14 +341,20 @@ class JaxProgramGenerator:
         if global_variable_values:
             self.problem = self.problem.with_parameters(global_variable_values)
             self._solver_cache.clear()
+        if getattr(self.problem, "outer_solver", None):
+            return self._generate_and_evaluate_outer(
+                expression, infinity, evaluation_samples
+            )
         try:
             t0 = time.perf_counter()
-            solve, iterate_k = self._build_solver(expression)
+            solve, omega_values, newly_compiled = self._build_solver(expression)
             u0, f = self.problem.initial_state(
                 self.dtype, level=self._expression_level(expression)
             )
-            res, res0, it = jax.block_until_ready(solve(u0, f))
-            self.compile_time_total += time.perf_counter() - t0
+            omegas = jnp.asarray(omega_values, dtype=jnp.float32)
+            res, res0, it = jax.block_until_ready(solve(u0, f, omegas))
+            if newly_compiled:
+                self.compile_time_total += time.perf_counter() - t0
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return infinity, infinity, infinity
 
@@ -258,22 +373,60 @@ class JaxProgramGenerator:
             iterations = it
         else:
             iterations = int(math.ceil(math.log(self.epsilon) / math.log(rho)))
-        if iterations > self.iteration_limit * 20:
+        if iterations > self.iteration_limit:
+            # Iteration-cap breach → infinity poisoning, exactly as the
+            # reference's parse_output (exastencils.py:582-583).
             return infinity, rho, infinity
 
-        # Timing: median over samples of a fixed-K iteration loop.
+        # Timing: median over samples of the full solve loop (residual
+        # computation per iteration included — matching the reference's
+        # generated solvers, which print the residual every iteration).
         times = []
-        out = jax.block_until_ready(iterate_k(u0, f))  # compile + warmup
         for _ in range(max(1, evaluation_samples)):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(iterate_k(u0, f))
+            jax.block_until_ready(solve(u0, f, omegas))
             times.append(time.perf_counter() - t0)
-        del out
         times.sort()
-        t_iter_ms = 1e3 * times[len(times) // 2] / self.timing_iterations
+        t_iter_ms = 1e3 * times[len(times) // 2] / it
         self.run_time_total += sum(times)
         time_to_convergence = iterations * t_iter_ms
         return time_to_convergence, rho, iterations
+
+    def _generate_and_evaluate_outer(self, expression, infinity, evaluation_samples):
+        """Outer-Krylov evaluation: time/iterations of the preconditioned
+        solve; ρ = per-iteration residual contraction of the outer method."""
+        try:
+            t0 = time.perf_counter()
+            solve, omega_values, newly_compiled = self._build_outer_solver(expression)
+            u0, f = self.problem.initial_state(
+                self.dtype, level=self._expression_level(expression)
+            )
+            omegas = jnp.asarray(omega_values, dtype=jnp.float32)
+            res, res0, it = jax.block_until_ready(solve(u0, f, omegas))
+            if newly_compiled:
+                self.compile_time_total += time.perf_counter() - t0
+        except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
+            return infinity, infinity, infinity
+
+        it = int(it)
+        res = float(jnp.real(res))
+        res0 = float(jnp.real(res0))
+        spec = self.problem.outer_solver
+        if it == 0 or not math.isfinite(res) or res <= 0.0 or res0 <= 0.0:
+            return infinity, infinity, infinity
+        if it >= spec["max_iterations"] or res > spec["target_reduction"] * res0 * 10:
+            rho = (res / res0) ** (1.0 / it) if res > 0 else infinity
+            return infinity, rho if math.isfinite(rho) else infinity, infinity
+        rho = (res / res0) ** (1.0 / it)
+        times = []
+        for _ in range(max(1, evaluation_samples)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(solve(u0, f, omegas))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        time_to_convergence = 1e3 * times[len(times) // 2]
+        self.run_time_total += sum(times)
+        return time_to_convergence, rho, it
 
     def evaluate_objectives(self, expression, evaluation_samples=3, infinity=1e100):
         """(ρ, time_per_iteration_ms) — the NSGA-II objective pair."""

@@ -114,7 +114,7 @@ class CycleLowering:
             for entry, field in zip(row, state):
                 gen = getattr(entry, "stencil_generator", None)
                 if gen is not None and getattr(gen, "is_nonlinear", False):
-                    term = gen.apply(field)
+                    term = gen.apply(field, entry.grid)
                 elif isinstance(entry, base.ZeroOperator):
                     continue
                 else:
@@ -122,6 +122,20 @@ class CycleLowering:
                 acc = term if acc is None else acc + term
             out.append(acc if acc is not None else jnp.zeros_like(state[0]))
         return tuple(out)
+
+    @staticmethod
+    def _nonlinear_entries(operator: system.Operator):
+        """Diagonal (i==i) nonlinear generators, or None if fully linear."""
+        gens = []
+        any_nonlinear = False
+        for i, row in enumerate(operator.entries):
+            gen = getattr(row[i], "stencil_generator", None)
+            if gen is not None and getattr(gen, "is_nonlinear", False):
+                any_nonlinear = True
+                gens.append((gen, row[i].grid))
+            else:
+                gens.append(None)
+        return gens if any_nonlinear else None
 
     def _coarsening_factors(self, fine_grid, coarse_grid):
         return tuple(f // c for f, c in zip(fine_grid.size, coarse_grid.size))
@@ -259,14 +273,23 @@ class CycleLowering:
             )
         return self._block_specs[key]
 
-    def smoother_apply(self, smoothing_operator, r_state: Sequence) -> Tuple:
-        """Apply B^{-1} to the residual state for a smoothing operator B."""
+    def smoother_apply(self, smoothing_operator, r_state: Sequence, u_state=None) -> Tuple:
+        """Apply B^{-1} to the residual state for a smoothing operator B.
+
+        `u_state` (the current iterate) is required for the nonlinear FAS
+        smoothers whose local Jacobian depends on u.
+        """
         B = smoothing_operator
         if isinstance(B, system.Diagonal):
             return smoothers.decoupled_jacobi_apply(
                 r_state, self._diagonal_inverses(B.operand)
             )
         if isinstance(B, system.ElementwiseDiagonal):
+            nonlinear = self._nonlinear_entries(B.operand)
+            if nonlinear is not None:
+                return self._nonlinear_point_solve(
+                    nonlinear, r_state, u_state, newton_steps=None
+                )
             kind, data = self._elementwise_diagonal_inverse(B.operand)
             if kind == "const":
                 return smoothers.collective_jacobi_apply(r_state, data)
@@ -274,14 +297,54 @@ class CycleLowering:
         if isinstance(B, system.Operator):
             return self._block_solve_spec(B).apply(r_state)
         if isinstance(B, base.Addition) and isinstance(B.operand2, system.Jacobian):
-            # FAS Newton smoother: handled by problems/fas.py lowering hooks.
-            return self._newton_smoother_apply(B, r_state)
+            # FAS Newton smoother: D + J with n inner Newton steps on the
+            # point-local nonlinear equation (reference
+            # exastencils_FAS.py:196-252 emits the symbolic Jacobian
+            # denominator; here the derivative comes from the problem's
+            # nonlinear stencil generator).
+            jacobian = B.operand2
+            operator = jacobian.operand
+            nonlinear = self._nonlinear_entries(operator)
+            if nonlinear is None:
+                # Linear operator: Newton degenerates to collective Jacobi.
+                return self.smoother_apply(
+                    system.ElementwiseDiagonal(operator), r_state, u_state
+                )
+            return self._nonlinear_point_solve(
+                nonlinear, r_state, u_state, newton_steps=jacobian.n_newton_steps
+            )
         raise RuntimeError(f"Cannot apply smoother {B!r}")
 
-    def _newton_smoother_apply(self, B, r_state):
-        raise NotImplementedError(
-            "FAS Newton smoothing requires the nonlinear lowering (problems/fas.py)"
-        )
+    def _nonlinear_point_solve(self, gens, r_state, u_state, newton_steps):
+        """Point-local solve of L_c·δ + N(u+δ) − N(u) = r per field.
+
+        Picard (newton_steps None): δ = r / (L_c + N'(u)) with the
+        nonlinearity frozen; Newton: n damped Newton iterations of the
+        scalar local equation, n=1 reducing to the same formula.
+        """
+        if u_state is None:
+            raise RuntimeError("Nonlinear smoothing requires the current iterate")
+        out = []
+        for (entry, r, u) in zip(gens, r_state, u_state):
+            if entry is None:
+                out.append(r)
+                continue
+            gen, grid = entry
+            center = gen.linear_center(grid)
+            if newton_steps is None:
+                delta = r / (center + gen.derivative_diag(u))
+            else:
+                n_u = gen.nonlinear_term(u)
+                delta = jnp.zeros_like(r)
+                for _ in range(int(newton_steps)):
+                    residual_loc = r - center * delta - (
+                        gen.nonlinear_term(u + delta) - n_u
+                    )
+                    delta = delta + residual_loc / (
+                        center + gen.derivative_diag(u + delta)
+                    )
+            out.append(delta)
+        return tuple(out)
 
     # ------------------------------------------------------------------
     # Coarse-grid solver
@@ -318,8 +381,44 @@ class CycleLowering:
             )
         return self._dense_specs[key]
 
-    def cgs_apply(self, solver: base.CoarseGridSolver, r_state: Sequence) -> Tuple:
+    def cgs_apply(
+        self, solver: base.CoarseGridSolver, r_state: Sequence,
+        rhs_expr=None, ev=None,
+    ) -> Tuple:
         expr = solver.expression
+        nonlinear = self._nonlinear_entries(solver.operator)
+        if nonlinear is not None:
+            # Nonlinear coarse solve: fixed damped Newton–Jacobi sweeps
+            # (the reference's FAS CGS@coarsest runs 200 smoother sweeps —
+            # FAS_2D_Basic_template.exa4 Function CGS).  Crucially, FAS
+            # requires the solve to start from the restricted solution
+            # (the reference stores R·u in its Approximation field,
+            # exastencils_FAS.py:121-136): the τ-corrected right-hand side
+            # has the form R·r + A_c(R·u), and starting from zero would
+            # leave an O(coarse-solve-error) bias that stalls the cycle at
+            # a wrong fixed point.  Extract R·u structurally from the rhs.
+            operator = solver.operator
+            u0 = None
+            if rhs_expr is not None and ev is not None and isinstance(rhs_expr, base.Addition):
+                for candidate in (rhs_expr.operand2, rhs_expr.operand1):
+                    if (
+                        isinstance(candidate, base.Multiplication)
+                        and isinstance(candidate.operand1, system.Operator)
+                        and self._nonlinear_entries(candidate.operand1) is not None
+                    ):
+                        u0 = ev(candidate.operand2)
+                        break
+            if u0 is None:
+                u0 = tuple(jnp.zeros_like(r) for r in r_state)
+
+            def body(_, u):
+                r = sops.tree_sub(tuple(r_state), self.system_apply(operator, u))
+                corr = self._nonlinear_point_solve(nonlinear, r, u, newton_steps=None)
+                return tuple(x + 0.8 * c for x, c in zip(u, corr))
+
+            import jax
+
+            return jax.lax.fori_loop(0, 200, body, tuple(u0))
         if expr is None:
             return self._dense_spec(solver.operator).apply(r_state)
         if isinstance(expr, KrylovSubspaceMethod):
@@ -350,7 +449,7 @@ class CycleLowering:
                 key = id(node)
                 if key in memo:
                     return memo[key]
-                value = self._eval(node, ev, u, f)
+                value = self._eval(node, ev, u, f, None)
                 memo[key] = value
                 return value
 
@@ -358,13 +457,48 @@ class CycleLowering:
 
         return step
 
+    def lower_parameterized(self, expression: base.Expression):
+        """Build step(u, f, omegas) with relaxation factors as a traced
+        vector argument.
+
+        Individuals that share cycle *structure* but differ in relaxation
+        factors (the most common mutation: swapping an rf_i terminal)
+        then share one XLA executable — the structural-interpreter
+        compile-cache strategy (SURVEY.md §7.4).  Returns
+        (step, omega_values) where omega_values are this expression's
+        factors in canonical slot order.
+        """
+        from evostencils_tpu.ir.transformations import collect_cycles
+
+        cycles = collect_cycles(expression)
+        slots = {id(c): i for i, c in enumerate(cycles)}
+        omega_values = [float(c.relaxation_factor) for c in cycles]
+
+        def step(u: Tuple, f: Tuple, omegas) -> Tuple:
+            memo = {}
+
+            def omega_lookup(node):
+                return omegas[slots[id(node)]]
+
+            def ev(node):
+                key = id(node)
+                if key in memo:
+                    return memo[key]
+                value = self._eval(node, ev, u, f, omega_lookup)
+                memo[key] = value
+                return value
+
+            return ev(expression)
+
+        return step, omega_values
+
     def _zeros_for(self, node) -> Tuple:
         grids = node.grid if isinstance(node.grid, list) else [node.grid]
         return tuple(
             jnp.zeros(g.interior_shape, dtype=self.dtype) for g in grids
         )
 
-    def _eval(self, node, ev, u, f):
+    def _eval(self, node, ev, u, f, omega_lookup):
         if isinstance(node, (system.ZeroApproximation, base.ZeroApproximation)):
             return self._zeros_for(node)
         if isinstance(node, (system.RightHandSide, base.RightHandSide)):
@@ -372,7 +506,7 @@ class CycleLowering:
         if isinstance(node, (system.Approximation, base.Approximation)):
             return tuple(u)
         if isinstance(node, base.Cycle):
-            return self._eval_cycle(node, ev)
+            return self._eval_cycle(node, ev, omega_lookup)
         if isinstance(node, base.Residual):
             rhs_val = ev(node.rhs)
             approx_val = ev(node.approximation)
@@ -381,9 +515,14 @@ class CycleLowering:
         if isinstance(node, base.Multiplication):
             op1 = node.operand1
             if isinstance(op1, base.Inverse):
-                return self.smoother_apply(op1.operand, ev(node.operand2))
+                u_state = (
+                    ev(node.operand2.approximation)
+                    if isinstance(node.operand2, base.Residual)
+                    else None
+                )
+                return self.smoother_apply(op1.operand, ev(node.operand2), u_state)
             if isinstance(op1, base.CoarseGridSolver):
-                return self.cgs_apply(op1, ev(node.operand2))
+                return self.cgs_apply(op1, ev(node.operand2), node.operand2, ev)
             if isinstance(op1, KrylovSubspaceMethod):
                 apply_a = partial(self.system_apply, op1.operator)
                 return krylov.SOLVERS[op1.name](
@@ -402,8 +541,10 @@ class CycleLowering:
             return sops.tree_scale(node.factor, ev(node.operand))
         raise RuntimeError(f"Cannot evaluate IR node {type(node).__name__}")
 
-    def _eval_cycle(self, node: base.Cycle, ev):
-        omega = node.relaxation_factor
+    def _eval_cycle(self, node: base.Cycle, ev, omega_lookup=None):
+        omega = (
+            node.relaxation_factor if omega_lookup is None else omega_lookup(node)
+        )
         u0 = ev(node.approximation)
         if _is_partitioning(node.partitioning, part.Single) or not isinstance(
             node.correction, base.Multiplication
@@ -435,7 +576,7 @@ class CycleLowering:
         for color in range(2):
             a_u = self.system_apply(operator, u_cur)
             r = sops.tree_sub(f_val, a_u)
-            corr = self.smoother_apply(smoother_op, r)
+            corr = self.smoother_apply(smoother_op, r, u_cur)
             u_cur = tuple(
                 x + omega * masks[color].astype(x.dtype) * c
                 for x, c, masks in zip(u_cur, corr, masks_per_field)

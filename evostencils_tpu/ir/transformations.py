@@ -65,7 +65,40 @@ def invalidate_expression(expression: base.Expression):
         expression.mutate(invalidate_expression)
 
 
-def canonical_string(expression) -> str:
+def collect_cycles(expression) -> list:
+    """All Cycle nodes in canonical DFS order (approximation, rhs,
+    correction).  Defines the relaxation-factor slot numbering shared by
+    `canonical_string(..., parameterize_relaxation=True)` and the
+    parameterized lowering."""
+    seen = set()
+    cycles = []
+
+    def walk(e):
+        if e is None or id(e) in seen or not isinstance(e, base.Expression):
+            return
+        seen.add(id(e))
+        if isinstance(e, base.Cycle):
+            walk(e.approximation)
+            walk(e.rhs)
+            walk(e.correction)
+            cycles.append(e)
+        elif isinstance(e, base.Residual):
+            walk(e.operator)
+            walk(e.approximation)
+            walk(e.rhs)
+        elif isinstance(e, base.CoarseGridSolver):
+            pass
+        elif isinstance(e, base.BinaryExpression):
+            walk(e.operand1)
+            walk(e.operand2)
+        elif isinstance(e, (base.UnaryExpression, base.Scaling)):
+            walk(e.operand)
+
+    walk(expression)
+    return cycles
+
+
+def canonical_string(expression, parameterize_relaxation: bool = False) -> str:
     """Structural fingerprint for compile-cache keys.
 
     Two cycles with the same canonical string lower to the same jitted
@@ -98,8 +131,9 @@ def canonical_string(expression) -> str:
         if key in memo:
             return memo[key]
         if isinstance(e, base.Cycle):
+            omega = "*" if parameterize_relaxation else e.relaxation_factor
             s = (
-                f"Cycle[{e.relaxation_factor};{e.partitioning.get_name()}]"
+                f"Cycle[{omega};{e.partitioning.get_name()}]"
                 f"({walk(e.approximation)},{walk(e.rhs)},{walk(e.correction)})"
             )
         elif isinstance(e, base.Residual):

@@ -367,8 +367,25 @@ class Optimizer:
         return fitness
 
     def _evaluate_population(self, individuals, evaluate: Callable):
-        """Evaluate all invalid individuals (device dispatch when attached)."""
+        """Evaluate all invalid individuals.
+
+        Distinct cycle structures are XLA-compiled concurrently first
+        (program_generator.precompile), then evaluations run serially for
+        clean on-device timing — the TPU analog of the reference's
+        per-rank parallel java+make (program.py:478-502)."""
         invalid = [ind for ind in individuals if ind.fitness_values is None]
+        if hasattr(self._program_generator, "precompile") and len(invalid) > 1:
+            expressions = []
+            for ind in invalid:
+                if len(ind) > 150 or self.individual_in_cache(ind):
+                    continue
+                try:
+                    expr, _ = self.compile_individual(ind)
+                    expressions.append(expr)
+                except (MemoryError, RuntimeError):
+                    pass
+            if expressions:
+                self._program_generator.precompile(expressions)
         if self._dispatcher is not None:
             results = self._dispatcher.map(evaluate, invalid)
         else:

@@ -47,6 +47,10 @@ class Problem:
         dtype=jnp.float32,
         parameters: Optional[Dict] = None,
         uses_fas: bool = False,
+        constants: Optional[Dict[str, float]] = None,
+        outer_solver: Optional[Dict] = None,
+        residual_target: float = 1e-12,
+        iteration_limit: int = 500,
     ):
         self.name = name
         self.dimension = dimension
@@ -60,15 +64,23 @@ class Problem:
         self.dtype = dtype
         self.parameters = dict(parameters or {})
         self.uses_fas = uses_fas
+        self.constants = dict(constants or {})
+        self.outer_solver = outer_solver
+        self.residual_target = residual_target
+        self.iteration_limit = iteration_limit
         self.coarsening_factors = [(2,) * dimension for _ in self.fields]
         self._build()
 
     def _build(self):
         self.equations: List[mg.EquationInfo] = []
         self.operators: List[mg.OperatorInfo] = []
+        subs = {sympy.Symbol(k): v for k, v in self.constants.items()}
         for level in range(self.min_level, self.max_level + 1):
             for eq_name, expr in self.equation_strings:
-                self.equations.append(mg.EquationInfo(eq_name, level, expr))
+                info = mg.EquationInfo(eq_name, level, expr)
+                if subs:
+                    info.sympy_expr = info.sympy_expr.subs(subs)
+                self.equations.append(info)
             for op_name, (factory, op_type) in self.operator_factories.items():
                 self.operators.append(
                     mg.OperatorInfo(op_name, level, factory(level, self.parameters), op_type)
@@ -146,34 +158,31 @@ class Problem:
 
     # ---- reconfiguration ----
 
-    def with_levels(self, min_level: int, max_level: int) -> "Problem":
-        return Problem(
-            self.name,
-            self.dimension,
-            min_level,
-            max_level,
-            self.field_names,
-            self.equation_strings,
-            self.operator_factories,
-            self.rhs_functions,
-            self.dtype,
-            self.parameters,
-            self.uses_fas,
+    def _clone(self, **overrides) -> "Problem":
+        kwargs = dict(
+            name=self.name,
+            dimension=self.dimension,
+            min_level=self.min_level,
+            max_level=self.max_level,
+            fields=self.field_names,
+            equation_strings=self.equation_strings,
+            operator_factories=self.operator_factories,
+            rhs_functions=self.rhs_functions,
+            dtype=self.dtype,
+            parameters=self.parameters,
+            uses_fas=self.uses_fas,
+            constants=self.constants,
+            outer_solver=self.outer_solver,
+            residual_target=self.residual_target,
+            iteration_limit=self.iteration_limit,
         )
+        kwargs.update(overrides)
+        return type(self)(**kwargs)
+
+    def with_levels(self, min_level: int, max_level: int) -> "Problem":
+        return self._clone(min_level=min_level, max_level=max_level)
 
     def with_parameters(self, updates: Dict) -> "Problem":
         params = dict(self.parameters)
         params.update(updates)
-        return Problem(
-            self.name,
-            self.dimension,
-            self.min_level,
-            self.max_level,
-            self.field_names,
-            self.equation_strings,
-            self.operator_factories,
-            self.rhs_functions,
-            self.dtype,
-            params,
-            self.uses_fas,
-        )
+        return self._clone(parameters=params)

@@ -1,0 +1,200 @@
+"""Problem-family tests: elasticity (block system), Helmholtz (complex +
+outer Krylov), FAS (nonlinear) — the reference's four example_problems."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+from evostencils_tpu.backend.lowering import CycleLowering
+from evostencils_tpu.grammar import gp
+from evostencils_tpu.grammar.multigrid import generate_primitive_set
+from evostencils_tpu.ir import base, partitioning as part, smoother
+from evostencils_tpu.ir.reference_cycles import (
+    generate_v_22_cycle_two_grid,
+    generate_v_cycle,
+)
+from evostencils_tpu.problems.elasticity import linear_elasticity_2d
+from evostencils_tpu.problems.fas import NonlinearLambdaExpGenerator, _solution, fas_2d
+from evostencils_tpu.problems.helmholtz import helmholtz_2d, helmholtz_ladder
+
+
+def build_pset(problem, depth, fas=False):
+    return generate_primitive_set(
+        problem.approximation(),
+        problem.rhs(),
+        problem.dimension,
+        problem.coarsening_factors,
+        problem.max_level,
+        problem.equations,
+        problem.operators,
+        problem.fields,
+        depth=depth,
+        maximum_local_system_size=4,
+        FAS=fas,
+    )
+
+
+class TestElasticity:
+    def test_two_grid_converges(self):
+        problem = linear_elasticity_2d(min_level=3, max_level=4, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        cycle = generate_v_22_cycle_two_grid(terminals[0], problem.rhs(), omega=0.8)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho < 0.5
+        assert iters < 100
+
+    def test_system_operator_block_structure(self):
+        problem = linear_elasticity_2d(min_level=3, max_level=4, dtype=jnp.float64)
+        A = problem.finest_operator()
+        assert len(A.entries) == 2 and len(A.entries[0]) == 2
+        # Off-diagonal coupling (λ+μ)·dxy must be present and symmetric.
+        s01 = A.entries[0][1].generate_stencil()
+        s10 = A.entries[1][0].generate_stencil()
+        from evostencils_tpu.stencils import periodic
+
+        assert periodic.lift(s01).as_constant() == periodic.lift(s10).as_constant()
+
+    def test_decoupled_vs_collective_smoother(self):
+        problem = linear_elasticity_2d(min_level=3, max_level=4, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1)
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+
+        def cycle_with(factory):
+            ucur = u
+            for _ in range(2):
+                res = base.Residual(A, ucur, f)
+                corr = base.Multiplication(base.Inverse(factory(A)), res)
+                ucur = base.Cycle(ucur, f, corr, partitioning=part.RedBlack,
+                                  relaxation_factor=0.8)
+            res = base.Residual(A, ucur, f)
+            f_c = base.Multiplication(t0.restriction, res)
+            cgc = base.Multiplication(
+                base.CoarseGridSolver("CGS", t0.coarse_operator), f_c
+            )
+            corr = base.Multiplication(t0.prolongation, cgc)
+            return base.Cycle(ucur, f, corr, relaxation_factor=1.0)
+
+        _, rho_dec, _ = gen.generate_and_evaluate(
+            cycle_with(smoother.generate_decoupled_jacobi), evaluation_samples=1
+        )
+        _, rho_col, _ = gen.generate_and_evaluate(
+            cycle_with(smoother.generate_collective_jacobi), evaluation_samples=1
+        )
+        assert rho_dec < 1.0 and rho_col < 1.0
+
+
+class TestHelmholtz:
+    def test_preconditioned_bicgstab_converges(self):
+        # Small instance: k=20 on a 32² grid keeps kh ≈ 0.625.
+        problem = helmholtz_2d(min_level=3, max_level=5, k=20.0, dtype=jnp.complex128)
+        _, terminals = build_pset(problem, depth=2)
+        cycle = generate_v_cycle(
+            terminals, problem.rhs(), pre_smoothing=2, post_smoothing=1, omega=0.6
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert iters < 500
+        assert rho < 1.0
+        assert t < 1e50
+
+    def test_ladder(self):
+        ladder = helmholtz_ladder(3)
+        assert [k for k, _ in ladder] == [80.0, 160.0, 320.0]
+        for k, level in ladder:
+            h = 2.0**-level
+            assert abs(h * k - 0.625) < 0.2
+
+    def test_shifted_operator_is_complex(self):
+        problem = helmholtz_2d(min_level=3, max_level=5, k=20.0)
+        M = problem.finest_operator()
+        stencil = M.entries[0][0].generate_stencil()
+        from evostencils_tpu.stencils import periodic
+
+        center = periodic.lift(stencil).as_constant().center_value()
+        assert abs(complex(center).imag) > 0
+
+
+class TestFAS:
+    def _newton_v22(self, problem, terminals):
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+
+        def sm(uin, steps):
+            for _ in range(steps):
+                res = base.Residual(A, uin, f)
+                B = smoother.generate_jacobi_newton(A, 1)
+                corr = base.Multiplication(base.Inverse(B), res)
+                uin = base.Cycle(uin, f, corr, partitioning=part.RedBlack,
+                                 relaxation_factor=0.8)
+            return uin
+
+        u2 = sm(u, 2)
+        res = base.Residual(A, u2, f)
+        Ru = base.Multiplication(t0.restriction, u2)
+        f_c = base.Addition(
+            base.Multiplication(t0.restriction, res),
+            base.Multiplication(t0.coarse_operator, Ru),
+        )
+        sol_c = base.Multiplication(
+            base.CoarseGridSolver("CGS", t0.coarse_operator), f_c
+        )
+        corr = base.Multiplication(t0.prolongation, base.Subtraction(sol_c, Ru))
+        u3 = base.Cycle(u2, f, corr, relaxation_factor=1.0)
+        return sm(u3, 2)
+
+    def test_newton_two_grid_converges_fast(self):
+        problem = fas_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1, fas=True)
+        cycle = self._newton_v22(problem, terminals)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho < 0.1
+        assert iters < 15
+
+    def test_solves_manufactured_solution(self):
+        problem = fas_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        _, terminals = build_pset(problem, depth=1, fas=True)
+        cycle = self._newton_v22(problem, terminals)
+        lowering = CycleLowering(jnp.float64)
+        step = lowering.lower(cycle)
+        u, f = problem.initial_state(jnp.float64)
+        for _ in range(20):
+            u = step(u, f)
+        x, y = problem.interior_coordinates(5)
+        err = np.max(np.abs(np.asarray(u[0]) - _solution(x, y)))
+        assert err < 5e-3  # discretization error at h=1/32
+
+    def test_fas_grammar_productions(self, rng):
+        problem = fas_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        pset, _ = build_pset(problem, depth=2, fas=True)
+        names = set(pset.mapping)
+        assert any(n.startswith("jacobi_newton_0") for n in names)
+        assert any(n.startswith("jacobi_picard_0") for n in names)
+        assert not any(n.startswith("collective_block_jacobi") for n in names)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        evaluated = 0
+        for _ in range(4):
+            tree = gp.gen_grow(pset, 2, 10, rng=rng)
+            expr, _ = gp.compile_tree(tree, pset)
+            t, rho, iters = gen.generate_and_evaluate(expr, evaluation_samples=1)
+            assert rho > 0
+            evaluated += 1
+        assert evaluated == 4
+
+    def test_nonlinear_generator_protocol(self):
+        gen = NonlinearLambdaExpGenerator(gamma=20.0)
+        u = jnp.asarray(np.linspace(-1, 1, 16).reshape(4, 4))
+        n = gen.nonlinear_term(u)
+        d = gen.derivative_diag(u)
+        np.testing.assert_allclose(
+            np.asarray(n), 20.0 * np.asarray(u) * np.exp(np.asarray(u)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(d),
+            20.0 * (1 + np.asarray(u)) * np.exp(np.asarray(u)),
+            rtol=1e-6,
+        )
