@@ -202,14 +202,26 @@ class JaxProgramGenerator:
                 sops.tree_sub(f, lowering.system_apply(operator, u))
             )
 
-        @jax.jit
-        def solve(u0, f, omegas):
-            res0 = residual_norm(u0, f)
+        # Stall patience: in f32 the attainable residual floor
+        # (ε_machine·‖A‖·‖u‖) can sit above the measure target; once the
+        # residual stops improving for `patience` iterations we are at the
+        # floor and the best point so far defines this stage's reduction.
+        patience = 5
+        # Restarted measurement (linear cycles only): after a stage stalls
+        # at the f32 floor, continue on the *error equation* A·e = r with
+        # e₀ = 0 — reductions multiply across stages, so three f32 stages
+        # resolve the full 1e-12 reference target that a single run cannot.
+        n_stages = 1 if getattr(self.problem, "uses_fas", False) else 3
+
+        def stage(u0, rhs, omegas):
+            res0 = residual_norm(u0, rhs)
+            zero = jnp.asarray(0, dtype=jnp.int32)
 
             def cond(carry):
-                _, res, it = carry
+                _, res, it, best_res, best_it, _ = carry
                 ok = res > target * res0
                 not_diverged = res < 1e8 * res0
+                not_stalled = (it - best_it) < patience
                 on_pace = jnp.logical_or(
                     it < 25,
                     res < grace * res0 * rho_required ** it.astype(res.dtype),
@@ -217,19 +229,51 @@ class JaxProgramGenerator:
                 return jnp.logical_and(
                     jnp.logical_and(it < cap, ok),
                     jnp.logical_and(
-                        jnp.logical_and(not_diverged, jnp.isfinite(res)), on_pace
+                        jnp.logical_and(not_diverged, jnp.isfinite(res)),
+                        jnp.logical_and(on_pace, not_stalled),
                     ),
                 )
 
             def body(carry):
-                u, _, it = carry
-                u = step(u, f, omegas)
-                return u, residual_norm(u, f), it + 1
+                u, _, it, best_res, best_it, best_u = carry
+                u = step(u, rhs, omegas)
+                res = residual_norm(u, rhs)
+                it = it + 1
+                improved = res < best_res
+                best_it = jnp.where(improved, it, best_it)
+                best_u = tuple(
+                    jnp.where(improved, x, bx) for x, bx in zip(u, best_u)
+                )
+                best_res = jnp.where(improved, res, best_res)
+                return u, res, it, best_res, best_it, best_u
 
-            u, res, it = jax.lax.while_loop(
-                cond, body, (u0, res0, jnp.asarray(0, dtype=jnp.int32))
+            zero_state = tuple(jnp.zeros_like(x) for x in u0)
+            _, _, _, best_res, best_it, best_u = jax.lax.while_loop(
+                cond, body, (u0, res0, zero, res0, zero, u0)
             )
-            return res, res0, it
+            return best_res, res0, best_it, best_u
+
+        @jax.jit
+        def solve(u0, f, omegas):
+            log_reduction = jnp.asarray(0.0, dtype=jnp.float32)
+            total_it = jnp.asarray(0, dtype=jnp.int32)
+            u, rhs = u0, f
+            for _ in range(n_stages):
+                best_res, res0, best_it, best_u = stage(u, rhs, omegas)
+                ratio = jnp.where(
+                    (best_it > 0) & (res0 > 0), best_res / res0, 1.0
+                )
+                log_reduction = log_reduction + jnp.log(
+                    jnp.maximum(ratio, 1e-38)
+                ).astype(jnp.float32)
+                total_it = total_it + best_it
+                # Next stage: error equation with the current residual.
+                rhs = sops.tree_sub(rhs, lowering.system_apply(operator, best_u))
+                u = tuple(jnp.zeros_like(x) for x in best_u)
+            # log of the total reduction (the product of stage ratios can
+            # underflow f32 — three 1e-12 stages are 1e-36 — so stay in
+            # log space), plus total iteration count.
+            return log_reduction, total_it
 
         compiled = self._aot_compile(solve, expression, len(omega_values))
         self._solver_cache[key] = compiled
@@ -352,27 +396,24 @@ class JaxProgramGenerator:
                 self.dtype, level=self._expression_level(expression)
             )
             omegas = jnp.asarray(omega_values, dtype=jnp.float32)
-            res, res0, it = jax.block_until_ready(solve(u0, f, omegas))
+            log_reduction, it = jax.block_until_ready(solve(u0, f, omegas))
             if newly_compiled:
                 self.compile_time_total += time.perf_counter() - t0
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return infinity, infinity, infinity
 
         it = int(it)
-        res = float(res)
-        res0 = float(res0)
-        if it == 0 or not math.isfinite(res) or res <= 0.0 or res0 <= 0.0:
+        log_reduction = float(log_reduction)
+        if it == 0 or not math.isfinite(log_reduction):
             return infinity, infinity, infinity
-        rho = (res / res0) ** (1.0 / it)
+        rho = math.exp(log_reduction / it)
         if not math.isfinite(rho) or rho >= 1.0:
             return infinity, rho if math.isfinite(rho) else infinity, infinity
 
-        # Iterations to the reference 1e-12 target (measured directly when
-        # the run reached it; extrapolated from asymptotic ρ otherwise).
-        if res <= self.epsilon * res0:
-            iterations = it
-        else:
-            iterations = int(math.ceil(math.log(self.epsilon) / math.log(rho)))
+        # Iterations to the reference 1e-12 target from the measured ρ
+        # (exact when the run reached the target: ρ = red^(1/n) inverts to
+        # exactly n; extrapolated when f32 stalls short of it).
+        iterations = int(math.ceil(math.log(self.epsilon) / math.log(rho)))
         if iterations > self.iteration_limit:
             # Iteration-cap breach → infinity poisoning, exactly as the
             # reference's parse_output (exastencils.py:582-583).

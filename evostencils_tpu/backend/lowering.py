@@ -60,8 +60,15 @@ class NonlinearStencilGenerator:
 
 
 class CycleLowering:
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, use_pallas: bool | None = None):
         self.dtype = dtype
+        # Pallas fused kernels: auto-enabled on TPU; forceable for tests
+        # (interpret mode on CPU).
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self._dense_specs = {}
         self._block_specs = {}
         self._plane_cache = {}
@@ -569,6 +576,11 @@ class CycleLowering:
         residual = corr_expr.operand2
         operator = residual.operator
         f_val = ev(residual.rhs)
+
+        fused = self._try_fused_rb_sweep(node, smoother_op, operator, u0, f_val, omega)
+        if fused is not None:
+            return fused
+
         masks_per_field = [
             sops.red_black_masks(x.shape, dtype=jnp.float32) for x in u0
         ]
@@ -582,3 +594,36 @@ class CycleLowering:
                 for x, c, masks in zip(u_cur, corr, masks_per_field)
             )
         return u_cur
+
+    def _try_fused_rb_sweep(self, node, smoother_op, operator, u0, f_val, omega):
+        """Lower the red-black collective-Jacobi step to the fused Pallas
+        kernel when applicable (scalar 2D constant-coefficient f32 that
+        fits VMEM); returns None to fall back to the masked-jnp path."""
+        if not self.use_pallas:
+            return None
+        if not isinstance(smoother_op, system.ElementwiseDiagonal):
+            return None
+        if smoother_op.operand is not operator:
+            return None
+        if len(u0) != 1:
+            return None
+        entry = operator.entries[0][0]
+        gen = getattr(entry, "stencil_generator", None)
+        if gen is None or getattr(gen, "is_nonlinear", False) or (
+            getattr(gen, "is_variable", lambda: False)()
+        ):
+            return None
+        stencil = entry.generate_stencil()
+        if isinstance(stencil, periodic.PeriodicStencil):
+            if not stencil.is_uniform():
+                return None
+            stencil = stencil.as_constant()
+        from evostencils_tpu.ops import pallas_kernels
+
+        if not pallas_kernels.supports_rb_sweep(u0[0].shape, stencil, self.dtype):
+            return None
+        return (
+            pallas_kernels.red_black_collective_jacobi_sweep(
+                u0[0], f_val[0], omega, stencil
+            ),
+        )

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Main evolutionary-optimization driver (reference scripts/optimize.py).
+
+Runs grammar-guided genetic programming for a chosen problem family
+entirely on device, dumps hall-of-fame individuals as re-evaluable
+grammar strings plus pickled logbooks/populations.
+
+Examples:
+  python scripts/optimize.py --problem poisson2d --method nsga2 \
+      --mu 8 --lambda 8 --generations 50
+  python scripts/optimize.py --problem poisson2d --model-based \
+      --method sogp --generations 20
+  python scripts/optimize.py --problem helmholtz --generations 20
+"""
+
+import argparse
+import os
+import pickle
+import random
+import sys
+
+
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--problem", default="poisson2d",
+                        choices=["poisson2d", "poisson3d", "poisson2d_var",
+                                 "elasticity", "helmholtz", "fas"])
+    parser.add_argument("--method", default="nsga2",
+                        choices=["nsga2", "nsga3", "sogp", "random"])
+    parser.add_argument("--mu", type=int, default=8)
+    parser.add_argument("--lambda", dest="lambda_", type=int, default=8)
+    parser.add_argument("--generations", type=int, default=50)
+    parser.add_argument("--generalization-interval", type=int, default=150)
+    parser.add_argument("--min-level", type=int, default=5)
+    parser.add_argument("--max-level", type=int, default=9)
+    parser.add_argument("--levels-per-run", type=int, default=None)
+    parser.add_argument("--evaluation-samples", type=int, default=3)
+    parser.add_argument("--crossover-probability", type=float, default=0.7)
+    parser.add_argument("--mutation-probability", type=float, default=0.3)
+    parser.add_argument("--max-local-system-size", type=int, default=8)
+    parser.add_argument("--model-based", action="store_true",
+                        help="LFA + roofline fitness instead of on-device runs")
+    parser.add_argument("--continue-from-checkpoint", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--output", default=None, help="result directory")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+    from evostencils_tpu.models.lfa import ConvergenceEvaluator
+    from evostencils_tpu.models.roofline import PerformanceEvaluator
+    from evostencils_tpu.optimization.optimizer import Optimizer
+    from evostencils_tpu.problems import build_named_problem
+
+    problem = build_named_problem(args.problem, args.min_level, args.max_level)
+    output_dir = args.output or f"results_{args.problem}"
+    os.makedirs(output_dir, exist_ok=True)
+
+    generator = JaxProgramGenerator(problem)
+    convergence_evaluator = None
+    performance_evaluator = None
+    if args.model_based:
+        convergence_evaluator = ConvergenceEvaluator(
+            problem.dimension, problem.coarsening_factors, problem.finest_grid
+        )
+        performance_evaluator = PerformanceEvaluator()
+
+    rng = random.Random(args.seed)
+    optimizer = Optimizer.for_problem(
+        problem,
+        program_generator=generator,
+        convergence_evaluator=convergence_evaluator,
+        performance_evaluator=performance_evaluator,
+        checkpoint_directory_path=os.path.join(output_dir, "checkpoints"),
+        rng=rng,
+    )
+    method = {
+        "nsga2": optimizer.NSGAII,
+        "nsga3": optimizer.NSGAIII,
+        "sogp": optimizer.SOGP,
+    }.get(args.method, optimizer.NSGAII)
+
+    pde_parameter_values = {}
+    if args.problem == "helmholtz":
+        from evostencils_tpu.problems.helmholtz import helmholtz_ladder
+
+        pde_parameter_values = {"k": [k for k, _ in helmholtz_ladder(4)]}
+
+    best, program, pops, logbooks, hofs = optimizer.evolutionary_optimization(
+        mu_=args.mu,
+        lambda_=args.lambda_,
+        generations=args.generations,
+        generalization_interval=args.generalization_interval,
+        crossover_probability=args.crossover_probability,
+        mutation_probability=args.mutation_probability,
+        optimization_method=method,
+        use_random_search=args.method == "random",
+        levels_per_run=args.levels_per_run,
+        evaluation_samples=args.evaluation_samples,
+        continue_from_checkpoint=args.continue_from_checkpoint,
+        maximum_local_system_size=args.max_local_system_size,
+        model_based_estimation=args.model_based,
+        pde_parameter_values=pde_parameter_values,
+        verbose=True,
+    )
+
+    # Durable artifacts (reference scripts/optimize.py:159-179): grammar
+    # strings are the re-evaluable representation.
+    for j, individual in enumerate(hofs[-1][: 2 * args.mu]):
+        with open(os.path.join(output_dir, f"individual_{j}.txt"), "w") as f:
+            f.write(str(individual) + "\n")
+            f.write(f"# fitness: {individual.fitness_values}\n")
+    with open(os.path.join(output_dir, "program.txt"), "w") as f:
+        f.write(program)
+    Optimizer.dump_data_structure(
+        [lb.records for lb in logbooks], os.path.join(output_dir, "logbooks.p")
+    )
+    Optimizer.dump_data_structure(
+        [[(str(i), i.fitness_values) for i in pop] for pop in pops],
+        os.path.join(output_dir, "populations.p"),
+    )
+    print(f"\nBest individual:\n{best}")
+    print(f"Results written to {output_dir}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

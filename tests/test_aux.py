@@ -1,0 +1,175 @@
+"""Auxiliary components: DSL parser, CMA-ES intergrid weights, tree viz,
+checkpoint resume, selection operators."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REFERENCE_PROBLEMS = "/root/reference/example_problems"
+
+
+class TestParser:
+    @pytest.mark.skipif(
+        not os.path.isdir(REFERENCE_PROBLEMS), reason="reference specs not mounted"
+    )
+    def test_parse_poisson_spec(self):
+        from evostencils_tpu.problems.parser import parse_exa2
+
+        p = parse_exa2(
+            f"{REFERENCE_PROBLEMS}/Poisson/2D_FD_Poisson_fromL2.exa2",
+            f"{REFERENCE_PROBLEMS}/Poisson/2D_FD_Poisson_fromL2.knowledge",
+            dtype=jnp.float64,
+        )
+        assert p.dimension == 2
+        assert (p.min_level, p.max_level) == (5, 9)
+        assert p.field_names == ["u"]
+        stencil = p.finest_operator().entries[0][0].generate_stencil()
+        from evostencils_tpu.stencils import periodic
+
+        s = periodic.lift(stencil).as_constant()
+        h = 2.0**-9
+        assert s.center_value() == pytest.approx(4.0 / h**2)
+
+    @pytest.mark.skipif(
+        not os.path.isdir(REFERENCE_PROBLEMS), reason="reference specs not mounted"
+    )
+    def test_parse_elasticity_and_solve(self):
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.grammar.multigrid import generate_primitive_set
+        from evostencils_tpu.ir.reference_cycles import generate_v_22_cycle_two_grid
+        from evostencils_tpu.problems.parser import parse_exa2
+
+        p = parse_exa2(
+            f"{REFERENCE_PROBLEMS}/LinearElasticity/2D_FD_LinearElasticity_fromL2.exa2",
+            f"{REFERENCE_PROBLEMS}/LinearElasticity/2D_FD_LinearElasticity_fromL2.knowledge",
+            dtype=jnp.float64,
+        ).with_levels(3, 4)
+        assert p.field_names == ["u", "v"]
+        assert p.constants["mu"] == 130.0
+        _, terminals = generate_primitive_set(
+            p.approximation(), p.rhs(), p.dimension, p.coarsening_factors,
+            p.max_level, p.equations, p.operators, p.fields, depth=1,
+            maximum_local_system_size=4,
+        )
+        cycle = generate_v_22_cycle_two_grid(terminals[0], p.rhs(), omega=0.8)
+        gen = JaxProgramGenerator(p, dtype=jnp.float64)
+        _, rho, _ = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho < 0.5
+
+
+class TestIntergridCMAES:
+    def test_cmaes_minimizes_sphere(self):
+        from evostencils_tpu.optimization.intergrid_transfer import CMAES
+
+        es = CMAES(np.full(4, 2.0), sigma=0.5, seed=1)
+        best = np.inf
+        for _ in range(40):
+            xs = es.ask()
+            fits = np.sum(xs**2, axis=1)
+            es.tell(xs, fits)
+            best = min(best, fits.min())
+        assert best < 1e-3
+
+    def test_weight_optimization_improves_or_matches_fw(self):
+        from evostencils_tpu.optimization.intergrid_transfer import (
+            optimize_intergrid_weights,
+        )
+        from evostencils_tpu.problems.poisson import poisson_2d
+
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        r_st, p_st, rho, history = optimize_intergrid_weights(
+            problem, radius=1, generations=8, samples_per_axis=4, seed=0
+        )
+        # Never worse than the FW/bilinear incumbent it starts from.
+        assert rho <= history[0] + 1e-9
+        assert rho < 0.5
+        assert r_st.number_of_entries <= 9 and p_st.number_of_entries <= 9
+
+
+class TestVisualization:
+    def test_dot_output(self, rng):
+        from evostencils_tpu.grammar import gp
+        from evostencils_tpu.grammar.multigrid import generate_primitive_set
+        from evostencils_tpu.problems.poisson import poisson_2d
+        from evostencils_tpu.utils.visualization import to_dot, tree_to_graph
+
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        pset, _ = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+            5, problem.equations, problem.operators, problem.fields, depth=1,
+            maximum_local_system_size=4,
+        )
+        tree = gp.gen_grow(pset, 2, 10, rng=rng)
+        nodes, edges, labels = tree_to_graph(tree)
+        assert len(nodes) == len(tree)
+        assert len(edges) == len(tree) - 1
+        dot = to_dot(tree)
+        assert dot.startswith("digraph") and "u_and_f" in dot
+
+
+class TestCheckpointResume:
+    def test_resume_continues_generation_count(self, tmp_path):
+        import random
+
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.optimization.optimizer import Optimizer
+        from evostencils_tpu.problems.poisson import poisson_2d
+
+        problem = poisson_2d(min_level=3, max_level=4, dtype=jnp.float64)
+
+        def make_opt(seed):
+            gen = JaxProgramGenerator(problem, dtype=jnp.float64, iteration_limit=100)
+            return Optimizer.for_problem(
+                problem, program_generator=gen,
+                checkpoint_directory_path=str(tmp_path), rng=random.Random(seed),
+            )
+
+        opt = make_opt(1)
+        opt.evolutionary_optimization(
+            mu_=4, lambda_=4, population_initialization_factor=1, generations=2,
+            generalization_interval=100, optimization_method=opt.SOGP,
+            evaluation_samples=1, maximum_local_system_size=4,
+            checkpoint_frequency=1, verbose=False,
+        )
+        assert os.path.isfile(tmp_path / "checkpoint.p")
+        opt2 = make_opt(2)
+        best, _, pops, logs, hofs = opt2.evolutionary_optimization(
+            mu_=4, lambda_=4, population_initialization_factor=1, generations=4,
+            generalization_interval=100, optimization_method=opt2.SOGP,
+            evaluation_samples=1, maximum_local_system_size=4,
+            checkpoint_frequency=2, continue_from_checkpoint=True, verbose=False,
+        )
+        gens = [r["gen"] for r in logs[-1].records]
+        assert gens[-1] == 4
+        assert len(hofs[-1]) >= 1
+
+
+class TestSelection:
+    def test_nsga2_front_and_crowding(self):
+        from evostencils_tpu.grammar.gp import Terminal, Tree
+        from evostencils_tpu.optimization.selection import sel_nsga2
+
+        def ind(name, fit):
+            t = Tree([Terminal(name, None, 1)])
+            t.fitness_values = fit
+            return t
+
+        pop = [
+            ind("a", (0.1, 1.0)),
+            ind("b", (1.0, 0.1)),
+            ind("c", (0.5, 0.5)),
+            ind("d", (0.6, 0.6)),  # dominated by c
+            ind("e", (2.0, 2.0)),  # dominated
+        ]
+        chosen = sel_nsga2(pop, 3)
+        names = {str(i) for i in chosen}
+        assert {"a", "b", "c"} == names
+
+    def test_nsga3_reference_points(self):
+        from evostencils_tpu.optimization.selection import uniform_reference_points
+
+        pts = uniform_reference_points(2, 4)
+        assert pts.shape == (5, 2)
+        np.testing.assert_allclose(pts.sum(axis=1), 1.0)
