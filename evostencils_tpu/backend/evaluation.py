@@ -31,8 +31,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from evostencils_tpu.backend.lowering import CycleLowering
+from evostencils_tpu.stencils import periodic
 from evostencils_tpu.ir import base, system
 from evostencils_tpu.ir.transformations import canonical_string, collect_cycles
 from evostencils_tpu.ops import stencil_ops as sops
@@ -83,12 +85,16 @@ class JaxProgramGenerator:
             else getattr(problem, "iteration_limit", 500)
         )
         if measure_reduction is None:
-            # f64 (CPU tests with jax_enable_x64) can run the full target.
+            # f64 (CPU tests with jax_enable_x64) runs the full target in
+            # one stage.  f32 measures in per-stage windows of 1e-4 — three
+            # restarted stages compound to the 1e-12 reference target while
+            # each window stays well above the f32 residual floor (whose
+            # tail would otherwise dilute the measured contraction).
             is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (
                 jnp.float64,
                 jnp.complex128,
             )
-            measure_reduction = self.epsilon if is_f64 else max(self.epsilon, 1e-6)
+            measure_reduction = self.epsilon if is_f64 else max(self.epsilon, 1e-4)
         self.measure_reduction = measure_reduction
         self.timing_iterations = timing_iterations
         self.device = device
@@ -207,12 +213,8 @@ class JaxProgramGenerator:
         # residual stops improving for `patience` iterations we are at the
         # floor and the best point so far defines this stage's reduction.
         patience = 5
-        # Restarted measurement (linear cycles only): after a stage stalls
-        # at the f32 floor, continue on the *error equation* A·e = r with
-        # e₀ = 0 — reductions multiply across stages, so three f32 stages
-        # resolve the full 1e-12 reference target that a single run cannot.
-        n_stages = 1 if getattr(self.problem, "uses_fas", False) else 3
 
+        @jax.jit
         def stage(u0, rhs, omegas):
             res0 = residual_norm(u0, rhs)
             zero = jnp.asarray(0, dtype=jnp.int32)
@@ -247,37 +249,54 @@ class JaxProgramGenerator:
                 best_res = jnp.where(improved, res, best_res)
                 return u, res, it, best_res, best_it, best_u
 
-            zero_state = tuple(jnp.zeros_like(x) for x in u0)
-            _, _, _, best_res, best_it, best_u = jax.lax.while_loop(
+            _, _, executed_it, best_res, best_it, best_u = jax.lax.while_loop(
                 cond, body, (u0, res0, zero, res0, zero, u0)
             )
-            return best_res, res0, best_it, best_u
+            return best_res, res0, best_it, best_u, executed_it
 
-        @jax.jit
-        def solve(u0, f, omegas):
-            log_reduction = jnp.asarray(0.0, dtype=jnp.float32)
-            total_it = jnp.asarray(0, dtype=jnp.int32)
-            u, rhs = u0, f
-            for _ in range(n_stages):
-                best_res, res0, best_it, best_u = stage(u, rhs, omegas)
-                ratio = jnp.where(
-                    (best_it > 0) & (res0 > 0), best_res / res0, 1.0
-                )
-                log_reduction = log_reduction + jnp.log(
-                    jnp.maximum(ratio, 1e-38)
-                ).astype(jnp.float32)
-                total_it = total_it + best_it
-                # Next stage: error equation with the current residual.
-                rhs = sops.tree_sub(rhs, lowering.system_apply(operator, best_u))
-                u = tuple(jnp.zeros_like(x) for x in best_u)
-            # log of the total reduction (the product of stage ratios can
-            # underflow f32 — three 1e-12 stages are 1e-36 — so stay in
-            # log space), plus total iteration count.
-            return log_reduction, total_it
+        compiled = self._aot_compile(stage, expression, len(omega_values))
+        self._solver_cache[key] = (compiled, operator)
+        return (compiled, operator), omega_values, True
 
-        compiled = self._aot_compile(solve, expression, len(omega_values))
-        self._solver_cache[key] = compiled
-        return compiled, omega_values, True
+    def _host_residual(self, operator, u_fields, f_fields):
+        """Exact float64 residual computed on host.
+
+        At an f32 stall the *device* residual is dominated by rounding
+        noise; the true residual — evaluated in f64 numpy — is the honest
+        right-hand side for the next measurement stage (restarted
+        error-equation measurement; see generate_and_evaluate)."""
+        out = []
+        for i, row in enumerate(operator.entries):
+            acc = np.asarray(f_fields[i], dtype=np.complex128 if
+                             np.iscomplexobj(f_fields[i]) else np.float64).copy()
+            for entry, u in zip(row, u_fields):
+                u64 = np.asarray(u, dtype=acc.dtype)
+                gen = getattr(entry, "stencil_generator", None)
+                if isinstance(entry, base.ZeroOperator):
+                    continue
+                if gen is not None and getattr(gen, "is_nonlinear", False):
+                    raise NotImplementedError("host residual: nonlinear")
+                if gen is not None and getattr(gen, "is_variable", lambda: False)():
+                    offsets, planes = gen.generate_coefficient_arrays(entry.grid)
+                    reach = tuple(
+                        max(abs(o[a]) for o in offsets) for a in range(len(offsets[0]))
+                    )
+                    padded = np.pad(u64, [(r, r) for r in reach])
+                    for offset, plane in zip(offsets, planes):
+                        index = tuple(
+                            slice(r + o, r + o + n)
+                            for r, o, n in zip(reach, offset, u64.shape)
+                        )
+                        acc -= np.asarray(plane, dtype=acc.dtype) * padded[index]
+                    continue
+                stencil = entry.generate_stencil()
+                if isinstance(stencil, periodic.PeriodicStencil):
+                    if not stencil.is_uniform():
+                        raise NotImplementedError("host residual: periodic entry")
+                    stencil = stencil.as_constant()
+                acc -= sops.numpy_apply_constant_stencil(u64, stencil)
+            out.append(acc)
+        return out
 
     def _aot_compile(self, solve, expression, n_omegas):
         """Ahead-of-time compile for the run's input shapes: the cached
@@ -391,19 +410,70 @@ class JaxProgramGenerator:
             )
         try:
             t0 = time.perf_counter()
-            solve, omega_values, newly_compiled = self._build_solver(expression)
+            (stage_solve, operator), omega_values, newly_compiled = self._build_solver(
+                expression
+            )
             u0, f = self.problem.initial_state(
                 self.dtype, level=self._expression_level(expression)
             )
             omegas = jnp.asarray(omega_values, dtype=jnp.float32)
-            log_reduction, it = jax.block_until_ready(solve(u0, f, omegas))
+
+            # Restarted measurement: when a stage stalls at the f32
+            # residual floor before reaching the 1e-12 target, the *exact*
+            # residual (float64 on host) becomes the next stage's
+            # right-hand side — the error equation A·e = r — so stage
+            # reductions multiply and f32 resolves the full reference
+            # target.  Stages that exit for any other reason (target hit,
+            # iteration cap, divergence, off pace) end the measurement.
+            log_eps = math.log(self.epsilon)
+            log_reduction = 0.0
+            it = 0
+            executed = 0
+            rhs = f
+            patience = 5
+            stage1_executed = 1
+            linear = not getattr(self.problem, "uses_fas", False)
+            for stage_index in range(3):
+                best_res, res0, best_it, best_u, stage_executed = (
+                    jax.block_until_ready(stage_solve(u0, rhs, omegas))
+                )
+                best_it = int(best_it)
+                stage_executed = int(stage_executed)
+                executed += stage_executed
+                if stage_index == 0:
+                    stage1_executed = max(1, stage_executed)
+                res0 = float(jnp.real(res0))
+                best_res = float(jnp.real(best_res))
+                if best_it == 0 or res0 <= 0.0 or not math.isfinite(best_res):
+                    break
+                ratio = best_res / res0
+                if ratio >= 1.0:
+                    break
+                log_reduction += math.log(max(ratio, 1e-300))
+                it += best_it
+                stalled = (stage_executed - best_it) >= patience
+                target_hit = best_res <= self.measure_reduction * res0
+                # Continue only from clean exits (floor stall or stage
+                # target); pace/cap/divergence exits end the measurement.
+                if (
+                    not linear
+                    or log_reduction <= log_eps
+                    or not (stalled or target_hit)
+                ):
+                    break
+                try:
+                    r64 = self._host_residual(operator, best_u, rhs)
+                except NotImplementedError:
+                    break
+                rhs = tuple(
+                    jnp.asarray(r, dtype=self.dtype) for r in r64
+                )
             if newly_compiled:
                 self.compile_time_total += time.perf_counter() - t0
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return infinity, infinity, infinity
 
-        it = int(it)
-        log_reduction = float(log_reduction)
+        executed = max(1, executed)
         if it == 0 or not math.isfinite(log_reduction):
             return infinity, infinity, infinity
         rho = math.exp(log_reduction / it)
@@ -425,10 +495,12 @@ class JaxProgramGenerator:
         times = []
         for _ in range(max(1, evaluation_samples)):
             t0 = time.perf_counter()
-            jax.block_until_ready(solve(u0, f, omegas))
+            jax.block_until_ready(stage_solve(u0, f, omegas))
             times.append(time.perf_counter() - t0)
         times.sort()
-        t_iter_ms = 1e3 * times[len(times) // 2] / it
+        # Normalize by the executed iterations of the timed (first) stage —
+        # t/iter is a property of one cycle application.
+        t_iter_ms = 1e3 * times[len(times) // 2] / stage1_executed
         self.run_time_total += sum(times)
         time_to_convergence = iterations * t_iter_ms
         return time_to_convergence, rho, iterations

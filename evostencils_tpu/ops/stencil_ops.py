@@ -125,6 +125,24 @@ def apply_stencil(u: jax.Array, stencil) -> jax.Array:
     raise TypeError(f"Not a stencil: {type(stencil)}")
 
 
+def numpy_apply_constant_stencil(u: np.ndarray, stencil: constant.Stencil) -> np.ndarray:
+    """Float64 host-side stencil application (numpy mirror of
+    apply_constant_stencil).  Used by the evaluation harness to compute
+    exact residuals at restart boundaries where the device runs f32."""
+    if stencil.number_of_entries == 0:
+        return np.zeros_like(u)
+    reach = stencil.max_reach()
+    padded = np.pad(u, [(r, r) for r in reach])
+    shape = u.shape
+    out = np.zeros_like(u)
+    for offset, value in stencil.entries:
+        index = tuple(
+            slice(r + o, r + o + n) for r, o, n in zip(reach, offset, shape)
+        )
+        out += value * padded[index]
+    return out
+
+
 def l2_norm(fields: Sequence[jax.Array]) -> jax.Array:
     """Euclidean norm over all fields of a system state."""
     acc = None

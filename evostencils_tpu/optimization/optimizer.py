@@ -252,6 +252,41 @@ class Optimizer:
     def _generate_individual(self):
         return gp.gen_grow(self._pset, 0, 50, rng=self.rng)
 
+    def _rebuild_pset(self):
+        """Reconstruct the primitive set against the program generator's
+        *current* problem (used by the generalization ramp)."""
+        from evostencils_tpu.ir import base as ir_base
+
+        cfg = self._grammar_config
+        pg = self._program_generator
+        finest_grid = pg.finest_grid
+        approximation = system.Approximation(
+            "u",
+            [
+                ir_base.Approximation(str(f), g)
+                for f, g in zip(pg.fields, finest_grid)
+            ],
+        )
+        rhs = system.RightHandSide(
+            "f",
+            [
+                ir_base.RightHandSide(f"{f}_rhs", g)
+                for f, g in zip(pg.fields, finest_grid)
+            ],
+        )
+        pset, _ = mg_grammar.generate_primitive_set(
+            approximation,
+            rhs,
+            self.dimension,
+            self.coarsening_factors,
+            pg.max_level,
+            pg.equations,
+            pg.operators,
+            pg.fields,
+            **cfg,
+        )
+        self._pset = pset
+
     def _population(self, n):
         return [self._generate_individual() for _ in range(n)]
 
@@ -489,6 +524,16 @@ class Optimizer:
                 self._program_generator.reinitialize(
                     evaluation_min_level, evaluation_max_level, level_offset
                 )
+                # Rebuild the grammar at the shifted levels and re-parse
+                # the population against it: production/terminal names are
+                # depth-based (level-independent within a run), so the
+                # trees transfer verbatim — the analog of the reference
+                # re-emitting the same trees with shifted knowledge files
+                # (reference program.py:515-539, exastencils.py:196-215).
+                self._rebuild_pset()
+                population = [
+                    gp.parse_tree(str(ind), self._pset) for ind in population
+                ]
                 self.clear_individual_cache()
                 hof.clear()
                 for ind in population:
@@ -751,6 +796,13 @@ class Optimizer:
                 self.convergence_evaluator.reinitialize_lfa_grids(approximation.grid)
             enable_partitioning = not model_based_estimation
 
+            self._grammar_config = dict(
+                enable_partitioning=enable_partitioning,
+                maximum_local_system_size=maximum_local_system_size,
+                depth=levels_per_run,
+                coarse_grid_solver_expression=coarse_solver_expression,
+                FAS=fas,
+            )
             pset, _ = mg_grammar.generate_primitive_set(
                 approximation,
                 rhs,
@@ -760,11 +812,7 @@ class Optimizer:
                 self.equations,
                 self.operators,
                 self.fields,
-                enable_partitioning=enable_partitioning,
-                maximum_local_system_size=maximum_local_system_size,
-                depth=levels_per_run,
-                coarse_grid_solver_expression=coarse_solver_expression,
-                FAS=fas,
+                **self._grammar_config,
             )
             self._pset = pset
             self._program_generator.initialize_code_generation(min_level, max_level)

@@ -1,0 +1,127 @@
+"""Optimizer integration: multi-run splitting, generalization ramp,
+Krylov coarse solvers, dispatchers."""
+
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+from evostencils_tpu.grammar.multigrid import generate_primitive_set
+from evostencils_tpu.ir import base, krylov
+from evostencils_tpu.ir.reference_cycles import generate_v_22_cycle_two_grid
+from evostencils_tpu.optimization.optimizer import Optimizer
+from evostencils_tpu.problems.poisson import poisson_2d
+
+
+def make_optimizer(problem, seed=0, ckpt="/tmp/ck_opt_tests"):
+    gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+    return Optimizer.for_problem(
+        problem, program_generator=gen, checkpoint_directory_path=ckpt,
+        rng=random.Random(seed),
+    )
+
+
+class TestMultiRun:
+    def test_levels_per_run_chains_coarse_solvers(self, tmp_path):
+        problem = poisson_2d(min_level=3, max_level=7, dtype=jnp.float64)
+        opt = make_optimizer(problem, seed=9, ckpt=str(tmp_path))
+        best, program, pops, logs, hofs = opt.evolutionary_optimization(
+            mu_=4, lambda_=4, population_initialization_factor=2, generations=1,
+            generalization_interval=100, optimization_method=opt.SOGP,
+            evaluation_samples=1, maximum_local_system_size=4,
+            levels_per_run=2, verbose=False,
+        )
+        assert len(hofs) == 2  # coarsest-first, then finest
+        assert "# level range [3, 5]" in program
+        assert "# level range [5, 7]" in program
+        # The finest run must have produced finite-fitness individuals
+        # (its coarse-grid solver is the previous run's evolved cycle).
+        assert hofs[-1][0].fitness_values[0] < 1e50
+
+
+class TestGeneralizationRamp:
+    def test_problem_size_ramp_reevaluates(self, tmp_path):
+        problem = poisson_2d(min_level=3, max_level=4, dtype=jnp.float64)
+        opt = make_optimizer(problem, seed=5, ckpt=str(tmp_path))
+        best, program, pops, logs, hofs = opt.evolutionary_optimization(
+            mu_=3, lambda_=3, population_initialization_factor=1, generations=3,
+            generalization_interval=1,  # grow the problem every generation
+            optimization_method=opt.SOGP, evaluation_samples=1,
+            maximum_local_system_size=4, verbose=False,
+        )
+        # After two ramps the program generator evaluates at max_level+2.
+        assert opt.program_generator.problem.max_level == 6
+        assert hofs[-1][0].fitness_values[0] < 1e50
+
+
+class TestKrylovCoarseSolver:
+    def test_cg_expression_cgs(self):
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+            5, problem.equations, problem.operators, problem.fields, depth=1,
+            maximum_local_system_size=4,
+        )
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+        cg = krylov.generate_conjugate_gradient(t0.coarse_operator, 40)
+        cycle = generate_v_22_cycle_two_grid(t0, f)
+        # Replace the dense CGS with a CG solve via the solver expression.
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+
+        def rebuild_with_krylov():
+            from evostencils_tpu.ir import partitioning as part, smoother
+
+            ucur = u
+            for _ in range(2):
+                res = base.Residual(A, ucur, f)
+                corr = base.Multiplication(
+                    base.Inverse(smoother.generate_collective_jacobi(A)), res
+                )
+                ucur = base.Cycle(ucur, f, corr, partitioning=part.RedBlack,
+                                  relaxation_factor=1.0)
+            res = base.Residual(A, ucur, f)
+            f_c = base.Multiplication(t0.restriction, res)
+            cgs = base.CoarseGridSolver("CGS", t0.coarse_operator, cg)
+            corr = base.Multiplication(
+                t0.prolongation, base.Multiplication(cgs, f_c)
+            )
+            ucur = base.Cycle(ucur, f, corr, relaxation_factor=1.0)
+            for _ in range(2):
+                res = base.Residual(A, ucur, f)
+                corr = base.Multiplication(
+                    base.Inverse(smoother.generate_collective_jacobi(A)), res
+                )
+                ucur = base.Cycle(ucur, f, corr, partitioning=part.RedBlack,
+                                  relaxation_factor=1.0)
+            return ucur
+
+        _, rho_krylov, _ = gen.generate_and_evaluate(
+            rebuild_with_krylov(), evaluation_samples=1
+        )
+        _, rho_dense, _ = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert rho_krylov < 0.1
+        assert abs(rho_krylov - rho_dense) < 0.05
+
+
+class TestDispatch:
+    def test_thread_pool_dispatcher_results_ordered(self):
+        from evostencils_tpu.parallel.dispatch import ThreadPoolDispatcher
+
+        d = ThreadPoolDispatcher(max_workers=4)
+        out = d.map(lambda x: x * x, list(range(20)))
+        assert out == [x * x for x in range(20)]
+
+    def test_optimizer_with_dispatcher(self, tmp_path):
+        problem = poisson_2d(min_level=3, max_level=4, dtype=jnp.float64)
+        opt = make_optimizer(problem, seed=3, ckpt=str(tmp_path))
+        from evostencils_tpu.parallel.dispatch import ThreadPoolDispatcher
+
+        opt._dispatcher = ThreadPoolDispatcher(max_workers=2)
+        best, *_ , hofs = opt.evolutionary_optimization(
+            mu_=3, lambda_=3, population_initialization_factor=1, generations=1,
+            generalization_interval=100, optimization_method=opt.SOGP,
+            evaluation_samples=1, maximum_local_system_size=4, verbose=False,
+        )
+        assert hofs[-1][0].fitness_values is not None
