@@ -190,7 +190,15 @@ def parse_tree(text: str, pset: PrimitiveSet) -> Tree:
         pos[0] += 1
         node = pset.mapping.get(name)
         if node is None:
-            raise ValueError(f"Unknown grammar symbol {name!r}")
+            hint = ""
+            base_name = name.rsplit("_", 1)[0]
+            if any(k.startswith(base_name) for k in pset.mapping):
+                hint = (
+                    " (a production with this name exists at another depth —"
+                    " was the tree evolved for a different level-hierarchy"
+                    " depth than this grammar?)"
+                )
+            raise ValueError(f"Unknown grammar symbol {name!r}{hint}")
         nodes = [node]
         if isinstance(node, Primitive):
             if tokens[pos[0]] != "(":

@@ -47,9 +47,13 @@ def collective_jacobi_apply(
     for i in range(n):
         acc = None
         for j in range(n):
-            coeff = inv_center[i, j]
+            # Python scalar (weak type) so the field dtype always wins —
+            # an np.float64 scalar would upcast f32 fields under x64.
+            coeff = complex(inv_center[i, j])
             if coeff == 0.0:
                 continue
+            if coeff.imag == 0.0:
+                coeff = coeff.real
             term = coeff * r_fields[j]
             acc = term if acc is None else acc + term
         out.append(acc if acc is not None else jnp.zeros_like(r_fields[i]))

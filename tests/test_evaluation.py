@@ -1,0 +1,119 @@
+"""Evaluation-harness semantics: poisoning rules, staged f32 measurement,
+caching behavior (reference fitness semantics, SURVEY §5.3/§6)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+from evostencils_tpu.grammar.multigrid import generate_primitive_set
+from evostencils_tpu.ir import base, partitioning as part, smoother
+from evostencils_tpu.ir.reference_cycles import generate_v_22_cycle_two_grid
+from evostencils_tpu.problems.poisson import poisson_2d
+
+
+@pytest.fixture(scope="module")
+def setup():
+    problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+    _, terminals = generate_primitive_set(
+        problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+        5, problem.equations, problem.operators, problem.fields, depth=1,
+        maximum_local_system_size=4,
+    )
+    return problem, terminals[0]
+
+
+def jacobi_cycle(t0, f, omega, steps=1):
+    u, A = t0.approximation, t0.operator
+    for _ in range(steps):
+        res = base.Residual(A, u, f)
+        corr = base.Multiplication(
+            base.Inverse(smoother.generate_collective_jacobi(A)), res
+        )
+        u = base.Cycle(u, f, corr, partitioning=part.Single, relaxation_factor=omega)
+    return u
+
+
+class TestPoisoning:
+    def test_divergent_gets_infinity(self, setup):
+        problem, t0 = setup
+        # omega = 1.9 on plain Jacobi diverges (|1-1.9·2| = 2.8 > 1)
+        cycle = jacobi_cycle(t0, problem.rhs(), omega=1.9)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert t >= 1e50 and iters >= 1e50
+
+    def test_slow_but_convergent_reports_rho(self, setup):
+        problem, t0 = setup
+        cycle = jacobi_cycle(t0, problem.rhs(), omega=0.8)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64, iteration_limit=60)
+        t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        # Cap breach -> infinite time, but rho is still measured and < 1.
+        assert t >= 1e50 and iters >= 1e50
+        assert 0.9 < rho < 1.0
+
+    def test_iteration_cap_matches_reference(self, setup):
+        problem, t0 = setup
+        cycle = generate_v_22_cycle_two_grid(t0, problem.rhs())
+        # cap=2: even rho~0.005 needs ~5 iterations to 1e-12 -> poisoned
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64, iteration_limit=2)
+        t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert iters >= 1e50
+
+
+class TestStagedF32:
+    def test_f32_matches_f64_within_factor(self, setup):
+        problem64, t0 = setup
+        cycle = generate_v_22_cycle_two_grid(t0, problem64.rhs())
+        gen64 = JaxProgramGenerator(problem64, dtype=jnp.float64)
+        _, rho64, it64 = gen64.generate_and_evaluate(cycle, evaluation_samples=1)
+
+        problem32 = poisson_2d(min_level=4, max_level=5, dtype=jnp.float32)
+        _, terminals32 = generate_primitive_set(
+            problem32.approximation(), problem32.rhs(), 2,
+            problem32.coarsening_factors, 5, problem32.equations,
+            problem32.operators, problem32.fields, depth=1,
+            maximum_local_system_size=4,
+        )
+        cycle32 = generate_v_22_cycle_two_grid(terminals32[0], problem32.rhs())
+        gen32 = JaxProgramGenerator(problem32, dtype=jnp.float32)
+        _, rho32, it32 = gen32.generate_and_evaluate(cycle32, evaluation_samples=1)
+        assert rho32 < 1.0
+        # staged measurement keeps f32 within ~3x of the f64 truth
+        assert rho32 < max(3 * rho64, 0.1)
+        assert it32 <= 3 * it64 + 3
+
+
+class TestCaching:
+    def test_structural_cache_shares_executables(self, setup):
+        problem, t0 = setup
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        c1 = jacobi_cycle(t0, problem.rhs(), omega=0.7, steps=2)
+        c2 = jacobi_cycle(t0, problem.rhs(), omega=1.2, steps=2)
+        gen.generate_and_evaluate(c1, evaluation_samples=1)
+        n_cached = len(gen._solver_cache)
+        _, _, built = gen._build_solver(c2)
+        assert built is False  # same structure, different omegas -> hit
+        assert len(gen._solver_cache) == n_cached
+
+    def test_different_structure_misses(self, setup):
+        problem, t0 = setup
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        c1 = jacobi_cycle(t0, problem.rhs(), omega=0.7, steps=1)
+        c2 = jacobi_cycle(t0, problem.rhs(), omega=0.7, steps=2)
+        gen.generate_and_evaluate(c1, evaluation_samples=1)
+        _, _, built = gen._build_solver(c2)
+        assert built is True
+
+    def test_precompile_populates_cache(self, setup):
+        problem, t0 = setup
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        exprs = [
+            jacobi_cycle(t0, problem.rhs(), omega=w, steps=s)
+            for w, s in ((0.5, 1), (0.9, 1), (0.5, 2))
+        ]
+        n = gen.precompile(exprs, max_workers=2)
+        assert n == 2  # two distinct structures among the three
+        for e in exprs:
+            _, _, built = gen._build_solver(e)
+            assert built is False

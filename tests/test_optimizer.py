@@ -125,3 +125,47 @@ class TestDispatch:
             evaluation_samples=1, maximum_local_system_size=4, verbose=False,
         )
         assert hofs[-1][0].fitness_values is not None
+
+
+class TestRelaxationTuning:
+    def test_gradient_tuning_improves_rho(self):
+        """Differentiate log-contraction through the whole lowered solve
+        w.r.t. the relaxation-factor vector (TPU-native capability the
+        reference approximated by patching generated C++ globals)."""
+        from evostencils_tpu.ir import partitioning as part, smoother
+        from evostencils_tpu.optimization.relaxation import tune_relaxation_factors
+
+        problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+        _, terminals = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+            5, problem.equations, problem.operators, problem.fields, depth=1,
+            maximum_local_system_size=4,
+        )
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+
+        def smooth_step(ucur, w):
+            res = base.Residual(A, ucur, f)
+            corr = base.Multiplication(
+                base.Inverse(smoother.generate_collective_jacobi(A)), res
+            )
+            return base.Cycle(ucur, f, corr, partitioning=part.Single,
+                              relaxation_factor=w)
+
+        ucur = smooth_step(u, 0.3)
+        res = base.Residual(A, ucur, f)
+        f_c = base.Multiplication(t0.restriction, res)
+        cgc = base.Multiplication(
+            base.CoarseGridSolver("CGS", t0.coarse_operator), f_c
+        )
+        corr = base.Multiplication(t0.prolongation, cgc)
+        ucur = base.Cycle(ucur, f, corr, relaxation_factor=0.3)
+        expr = smooth_step(ucur, 0.3)
+
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        _, rho_before, _ = gen.generate_and_evaluate(expr, evaluation_samples=1)
+        tuned, _ = tune_relaxation_factors(expr, problem, iterations=50)
+        gen._solver_cache.clear()
+        _, rho_after, _ = gen.generate_and_evaluate(expr, evaluation_samples=1)
+        assert rho_after < rho_before * 0.7
+        assert all(0.1 <= w <= 1.9 for w in tuned)

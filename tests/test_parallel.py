@@ -1,0 +1,84 @@
+"""Multi-device sharding tests (8 virtual CPU devices, see conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evostencils_tpu.backend.lowering import CycleLowering
+from evostencils_tpu.grammar.multigrid import generate_primitive_set
+from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+from evostencils_tpu.ops import stencil_ops as sops
+from evostencils_tpu.parallel.mesh import (
+    batched_sharded_evaluation,
+    build_mesh,
+    shard_state,
+)
+from evostencils_tpu.problems.poisson import poisson_2d
+
+
+@pytest.fixture(scope="module")
+def setup():
+    problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+    _, terminals = generate_primitive_set(
+        problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+        problem.max_level, problem.equations, problem.operators, problem.fields,
+        depth=2,
+    )
+    cycle = generate_v_cycle(terminals, problem.rhs())
+    lowering = CycleLowering(jnp.float64)
+    return problem, cycle, lowering
+
+
+def test_mesh_shapes():
+    mesh = build_mesh(8)
+    assert int(np.prod(mesh.devices.shape)) == 8
+    assert mesh.axis_names == ("dp", "sp")
+
+
+def test_sharded_cycle_matches_single_device(setup):
+    """The spatially sharded V-cycle must be bit-for-bit consistent with
+    the unsharded execution — XLA inserts the halo exchanges."""
+    problem, cycle, lowering = setup
+    step = lowering.lower(cycle)
+    u0, f = problem.initial_state(jnp.float64)
+
+    expected = jax.jit(step)(u0, f)
+
+    mesh = build_mesh(8)
+    with mesh:
+
+        @jax.jit
+        def sharded(u, f):
+            u = shard_state(u, mesh)
+            f = shard_state(f, mesh)
+            return step(u, f)
+
+        got = sharded(u0, f)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expected[0]), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_batched_sharded_evaluation(setup):
+    problem, cycle, lowering = setup
+    step = lowering.lower(cycle)
+    operator = problem.finest_operator()
+
+    def residual_fn(u, f):
+        return sops.l2_norm(sops.tree_sub(f, lowering.system_apply(operator, u)))
+
+    mesh = build_mesh(8)
+    run = batched_sharded_evaluation(step, mesh, residual_fn, n_iterations=2)
+    u0, f = problem.initial_state(jnp.float64)
+    batch = 4
+    u_b = tuple(jnp.stack([x] * batch) for x in u0)
+    f_b = tuple(jnp.stack([x] * batch) for x in f)
+    with mesh:
+        u_out, res = jax.block_until_ready(run(u_b, f_b))
+    assert res.shape == (batch,)
+    # all instances identical inputs -> identical residuals
+    np.testing.assert_allclose(np.asarray(res), float(res[0]), rtol=1e-10)
+    # two cycles must beat one
+    res1 = residual_fn(tuple(x[0] for x in u_b), tuple(x[0] for x in f_b))
+    assert float(res[0]) < float(res1)
