@@ -254,9 +254,68 @@ class JaxProgramGenerator:
             )
             return best_res, res0, best_it, best_u, executed_it
 
+        # Asymptotic ρ via error-propagation power iteration (linear
+        # cycles): e ← C(ω)·e with f ≡ 0, renormalized every block — no
+        # subtraction, hence no f32 cancellation floor.  Blocks run until
+        # the per-cycle rate stabilizes (the textbook power method on the
+        # iteration operator).  Residual-based runs systematically
+        # over-estimate ρ of fast solvers in f32 because their short
+        # stages are transient-dominated; this measurement matches the
+        # reference's long f64 runs (validated against exact dense
+        # spectral radii in tests).
+        block_len = 10
+
+        @jax.jit
+        def power(e0, zf, omegas):
+            def one_block(e):
+                def body(_, e):
+                    return step(e, zf, omegas)
+
+                e = jax.lax.fori_loop(0, block_len, body, e)
+                n = sops.l2_norm(e)
+                rate = jnp.real(n) ** (1.0 / block_len)
+                safe = jnp.where(jnp.real(n) > 0, jnp.real(n), 1.0)
+                e = tuple(x / safe for x in e)
+                return e, rate
+
+            def cond(carry):
+                _, prev_rate, rate, k = carry
+                unconverged = jnp.abs(rate - prev_rate) > 0.02 * jnp.abs(rate)
+                not_diverged = jnp.logical_and(rate < 2.0, jnp.isfinite(rate))
+                return jnp.logical_and(
+                    jnp.logical_and(k < 8, jnp.logical_or(k < 3, unconverged)),
+                    not_diverged,
+                )
+
+            def body(carry):
+                e, prev_rate, rate, k = carry
+                e, new_rate = one_block(e)
+                return e, rate, new_rate, k + 1
+
+            e, rate0 = one_block(e0)
+            _, _, rate, _ = jax.lax.while_loop(
+                cond, body, (e, jnp.asarray(0.0, rate0.dtype), rate0, jnp.asarray(1, jnp.int32))
+            )
+            return rate
+
         compiled = self._aot_compile(stage, expression, len(omega_values))
-        self._solver_cache[key] = (compiled, operator)
-        return (compiled, operator), omega_values, True
+        power_compiled = None
+        if not getattr(self.problem, "uses_fas", False):
+            power_compiled = self._aot_compile_power(power, expression, len(omega_values))
+        self._solver_cache[key] = (compiled, power_compiled, operator)
+        return (compiled, power_compiled, operator), omega_values, True
+
+    def _aot_compile_power(self, power, expression, n_omegas):
+        u0, f = self.problem.initial_state(
+            self.dtype, level=self._expression_level(expression)
+        )
+        rng = np.random.default_rng(7)
+        e0 = tuple(
+            jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype) for x in u0
+        )
+        zf = tuple(jnp.zeros_like(x) for x in f)
+        omegas = jnp.zeros((n_omegas,), dtype=jnp.float32)
+        return power.lower(e0, zf, omegas).compile()
 
     def _host_residual(self, operator, u_fields, f_fields):
         """Exact float64 residual computed on host.
@@ -410,13 +469,54 @@ class JaxProgramGenerator:
             )
         try:
             t0 = time.perf_counter()
-            (stage_solve, operator), omega_values, newly_compiled = self._build_solver(
-                expression
+            (stage_solve, power_solve, operator), omega_values, newly_compiled = (
+                self._build_solver(expression)
             )
             u0, f = self.problem.initial_state(
                 self.dtype, level=self._expression_level(expression)
             )
             omegas = jnp.asarray(omega_values, dtype=jnp.float32)
+
+            is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (
+                jnp.float64,
+                jnp.complex128,
+            )
+            if power_solve is not None and not is_f64:
+                # f32 linear cycles: asymptotic ρ via power iteration on
+                # the error-propagation operator (floor-free, exact).
+                rng = np.random.default_rng(7)
+                e0 = tuple(
+                    jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype)
+                    for x in u0
+                )
+                zf = tuple(jnp.zeros_like(x) for x in f)
+                rate = float(
+                    jnp.real(jax.block_until_ready(power_solve(e0, zf, omegas)))
+                )
+                if newly_compiled:
+                    self.compile_time_total += time.perf_counter() - t0
+                if not math.isfinite(rate) or rate <= 0.0:
+                    return infinity, infinity, infinity
+                rho = rate
+                if rho >= 1.0:
+                    return infinity, rho, infinity
+                iterations = int(math.ceil(math.log(self.epsilon) / math.log(rho)))
+                if iterations > self.iteration_limit:
+                    return infinity, rho, infinity
+                # Timing via the real residual-driven solve (stage 1).
+                _, _, _, _, stage_executed = jax.block_until_ready(
+                    stage_solve(u0, f, omegas)
+                )
+                stage1_executed = max(1, int(stage_executed))
+                times = []
+                for _ in range(max(1, evaluation_samples)):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(stage_solve(u0, f, omegas))
+                    times.append(time.perf_counter() - t0)
+                times.sort()
+                t_iter_ms = 1e3 * times[len(times) // 2] / stage1_executed
+                self.run_time_total += sum(times)
+                return iterations * t_iter_ms, rho, iterations
 
             # Restarted measurement: when a stage stalls at the f32
             # residual floor before reaching the 1e-12 target, the *exact*

@@ -98,6 +98,48 @@ def collect_cycles(expression) -> list:
     return cycles
 
 
+_SIGNATURE_CACHE = {}
+
+
+def _entry_signature(entry) -> str:
+    """Stable per-process fingerprint of a scalar operator entry's stencil
+    content (offsets, values, period) — distinguishes same-named operators
+    with different coefficients (block shapes, PDE parameters)."""
+    gen = getattr(entry, "stencil_generator", None)
+    if gen is None:
+        return type(entry).__name__
+    key = (id(gen), getattr(entry, "grid", None))
+    cached = _SIGNATURE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if getattr(gen, "is_nonlinear", False) or (
+        getattr(gen, "is_variable", lambda: False)()
+    ):
+        sig = f"g{id(gen):x}"
+    else:
+        try:
+            stencil = entry.generate_stencil()
+        except Exception:
+            stencil = None
+        if stencil is None:
+            sig = type(entry).__name__
+        else:
+            from evostencils_tpu.stencils import periodic as _periodic
+
+            p = _periodic.lift(stencil)
+            parts = [str(p.period)]
+            for cell in p.cells.flat:
+                if cell is None:
+                    parts.append("-")
+                else:
+                    parts.append(
+                        ";".join(f"{o}:{complex(v):.6e}" for o, v in cell.entries)
+                    )
+            sig = f"s{abs(hash('|'.join(parts))):x}"
+    _SIGNATURE_CACHE[key] = sig
+    return sig
+
+
 def canonical_string(expression, parameterize_relaxation: bool = False) -> str:
     """Structural fingerprint for compile-cache keys.
 
@@ -155,8 +197,31 @@ def canonical_string(expression, parameterize_relaxation: bool = False) -> str:
             s = f"{type(e).__name__}({walk(e.operand1)},{walk(e.operand2)})"
         elif isinstance(e, base.UnaryExpression):
             s = f"{type(e).__name__}({walk(e.operand)})"
-        elif isinstance(e, (system.System, base.Entity)):
-            # Leaves are referenced inline — short and frequently shared.
+        elif isinstance(e, system.System):
+            # System leaves must fingerprint their entry structure: e.g.
+            # block-Jacobi smoothing operators share the *name*
+            # "A_0_block_diag" across different block shapes, and Helmholtz
+            # k-ladder operators share names across k values — omitting the
+            # stencil signatures caused executable-cache collisions.
+            if hasattr(e, "entries") and isinstance(e.entries, list):
+                try:
+                    sig = ",".join(
+                        _entry_signature(entry)
+                        for row in e.entries
+                        for entry in (row if isinstance(row, list) else [row])
+                    )
+                except Exception:
+                    sig = ""
+            else:
+                sig = ""
+            memo[key] = f"{type(e).__name__}[{e.name}@{_grid_tag(e)};{sig}]"
+            return memo[key]
+        elif isinstance(e, base.Operator):
+            memo[key] = (
+                f"{type(e).__name__}[{e.name}@{_grid_tag(e)};{_entry_signature(e)}]"
+            )
+            return memo[key]
+        elif isinstance(e, base.Entity):
             memo[key] = f"{type(e).__name__}[{e.name}@{_grid_tag(e)}]"
             return memo[key]
         else:

@@ -33,8 +33,9 @@ def tune_relaxation_factors(
     problem,
     lowering=None,
     iterations: int = 50,
-    warmup_cycles: int = 2,
-    measure_cycles: int = 6,
+    warmup_cycles: int = 4,
+    measure_cycles: Optional[int] = None,
+    rho_estimate: Optional[float] = None,
     learning_rate: float = 0.05,
     omega_bounds: Tuple[float, float] = (0.1, 1.9),
     verbose: bool = False,
@@ -52,18 +53,29 @@ def tune_relaxation_factors(
     from evostencils_tpu.ops import stencil_ops as sops
 
     if lowering is None:
-        lowering = CycleLowering(problem.dtype)
+        # The Pallas fused kernel has no differentiation rule — the
+        # tuning pass uses the pure-jnp lowering (XLA still fuses it).
+        lowering = CycleLowering(problem.dtype, use_pallas=False)
+    if measure_cycles is None:
+        measure_cycles = 5
     step, omega_values = lowering.lower_parameterized(expression)
     grids = expression.grid if isinstance(expression.grid, list) else [expression.grid]
     level = grids[0].level
-    operator = mg.generate_system_operator(
-        problem.equations, problem.operators, problem.fields, level, 0, grids
-    )
     u0, f = problem.initial_state(problem.dtype, level=level)
     lo, hi = omega_bounds
 
-    def residual_norm(u):
-        return sops.l2_norm(sops.tree_sub(f, lowering.system_apply(operator, u)))
+    # Tune on pure error propagation: e' = C(ω)·e with f ≡ 0 and a fixed
+    # random error.  After a few warmup cycles the dominant error mode
+    # emerges (power iteration), the error is renormalized (no f32
+    # cancellation floor — nothing is subtracted), and the measured
+    # per-cycle log-contraction is a smooth, noise-free surrogate of log ρ.
+    import numpy as _np
+
+    rng = _np.random.default_rng(7)
+    e0 = tuple(
+        jnp.asarray(rng.standard_normal(x.shape), dtype=problem.dtype) for x in u0
+    )
+    zero_f = tuple(jnp.zeros_like(x) for x in f)
 
     def to_omegas(params):
         # smooth bounding: ω = lo + (hi-lo)·sigmoid(p)
@@ -77,15 +89,15 @@ def tune_relaxation_factors(
     @jax.jit
     def loss_fn(params):
         omegas = to_omegas(params)
-        u = u0
+        e = e0
         for _ in range(warmup_cycles):
-            u = step(u, f, omegas)
-        r_start = residual_norm(u)
+            e = step(e, zero_f, omegas)
+        norm = sops.l2_norm(e)
+        eps = jnp.asarray(1e-30, dtype=jnp.real(norm).dtype)
+        e = tuple(x / (norm + eps) for x in e)
         for _ in range(measure_cycles):
-            u = step(u, f, omegas)
-        r_end = residual_norm(u)
-        eps = jnp.asarray(1e-30, dtype=jnp.real(r_end).dtype)
-        return jnp.log(jnp.real(r_end) + eps) - jnp.log(jnp.real(r_start) + eps)
+            e = step(e, zero_f, omegas)
+        return jnp.log(jnp.real(sops.l2_norm(e)) + eps)
 
     value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 

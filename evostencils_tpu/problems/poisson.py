@@ -44,6 +44,22 @@ def _standard_operators(dimension, operator_generator):
     }
 
 
+def poisson_1d(min_level=4, max_level=10, dtype=None) -> Problem:
+    import jax.numpy as jnp
+
+    return Problem(
+        name="1D_FD_Poisson",
+        dimension=1,
+        min_level=min_level,
+        max_level=max_level,
+        fields=["u"],
+        equation_strings=[("eq_u", "A * u == f")],
+        operator_factories=_standard_operators(1, lambda params: gallery.Poisson1D()),
+        rhs_functions=[_rhs_sines],
+        dtype=dtype if dtype is not None else jnp.float32,
+    )
+
+
 def poisson_2d(min_level=5, max_level=9, dtype=None, epsilon_anisotropy=1.0) -> Problem:
     import jax.numpy as jnp
 
