@@ -293,17 +293,30 @@ class JaxProgramGenerator:
                 return e, rate, new_rate, k + 1
 
             e, rate0 = one_block(e0)
-            _, _, rate, _ = jax.lax.while_loop(
-                cond, body, (e, jnp.asarray(0.0, rate0.dtype), rate0, jnp.asarray(1, jnp.int32))
+            _, _, rate, k = jax.lax.while_loop(
+                cond,
+                body,
+                (e, jnp.asarray(0.0, rate0.dtype), rate0, jnp.asarray(1, jnp.int32)),
             )
-            return rate
+            return rate, k * block_len
 
-        compiled = self._aot_compile(stage, expression, len(omega_values))
+        # Eager-compile only what fitness needs first: for f32 linear
+        # cycles that is the power iteration (it decides poisoning); the
+        # residual stage is then compiled lazily, and only for survivors
+        # that reach the timing phase.  Nonlinear/f64 paths need the stage
+        # eagerly.
+        is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (
+            jnp.float64,
+            jnp.complex128,
+        )
         power_compiled = None
-        if not getattr(self.problem, "uses_fas", False):
+        if not getattr(self.problem, "uses_fas", False) and not is_f64:
             power_compiled = self._aot_compile_power(power, expression, len(omega_values))
-        self._solver_cache[key] = (compiled, power_compiled, operator)
-        return (compiled, power_compiled, operator), omega_values, True
+            stage_handle = stage  # lazy: jax.jit compiles on first call
+        else:
+            stage_handle = self._aot_compile(stage, expression, len(omega_values))
+        self._solver_cache[key] = (stage_handle, power_compiled, operator)
+        return (stage_handle, power_compiled, operator), omega_values, True
 
     def _aot_compile_power(self, power, expression, n_omegas):
         u0, f = self.problem.initial_state(
@@ -483,16 +496,18 @@ class JaxProgramGenerator:
             )
             if power_solve is not None and not is_f64:
                 # f32 linear cycles: asymptotic ρ via power iteration on
-                # the error-propagation operator (floor-free, exact).
+                # the error-propagation operator (floor-free, exact); the
+                # same executable measures time per cycle (each iteration
+                # includes a residual-norm computation, matching the real
+                # solve's per-iteration work).
                 rng = np.random.default_rng(7)
                 e0 = tuple(
                     jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype)
                     for x in u0
                 )
                 zf = tuple(jnp.zeros_like(x) for x in f)
-                rate = float(
-                    jnp.real(jax.block_until_ready(power_solve(e0, zf, omegas)))
-                )
+                rate, _ = jax.block_until_ready(power_solve(e0, zf, omegas))
+                rate = float(jnp.real(rate))
                 if newly_compiled:
                     self.compile_time_total += time.perf_counter() - t0
                 if not math.isfinite(rate) or rate <= 0.0:
@@ -503,7 +518,8 @@ class JaxProgramGenerator:
                 iterations = int(math.ceil(math.log(self.epsilon) / math.log(rho)))
                 if iterations > self.iteration_limit:
                     return infinity, rho, infinity
-                # Timing via the real residual-driven solve (stage 1).
+                # Timing via the real residual-driven solve (the stage is
+                # compiled lazily — only survivors pay for it).
                 _, _, _, _, stage_executed = jax.block_until_ready(
                     stage_solve(u0, f, omegas)
                 )
