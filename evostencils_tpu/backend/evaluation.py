@@ -474,8 +474,16 @@ class JaxProgramGenerator:
     ):
         """Returns (time_to_convergence_ms, convergence_factor, iterations)."""
         if global_variable_values:
-            self.problem = self.problem.with_parameters(global_variable_values)
-            self._solver_cache.clear()
+            # Rebuild (and drop compiled solvers) only when a parameter
+            # actually changed — the EA passes the current ladder values on
+            # every evaluation.
+            changed = any(
+                self.problem.parameters.get(k) != v
+                for k, v in global_variable_values.items()
+            )
+            if changed:
+                self.problem = self.problem.with_parameters(global_variable_values)
+                self._solver_cache.clear()
         if getattr(self.problem, "outer_solver", None):
             return self._generate_and_evaluate_outer(
                 expression, infinity, evaluation_samples

@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--max-local-system-size", type=int, default=8)
     parser.add_argument("--model-based", action="store_true",
                         help="LFA + roofline fitness instead of on-device runs")
+    parser.add_argument("--tune", action="store_true",
+                        help="gradient-tune the best individual's relaxation "
+                             "factors after evolution")
     parser.add_argument("--continue-from-checkpoint", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
@@ -127,6 +130,23 @@ def main():
         os.path.join(output_dir, "populations.p"),
     )
     print(f"\nBest individual:\n{best}")
+
+    if args.tune and not args.model_based:
+        from evostencils_tpu.grammar import gp
+        from evostencils_tpu.optimization.relaxation import tune_relaxation_factors
+
+        expr, _ = gp.compile_tree(gp.parse_tree(best, optimizer._pset), optimizer._pset)
+        t0v, rho0, it0 = generator.generate_and_evaluate(expr, evaluation_samples=3)
+        tuned, _ = tune_relaxation_factors(expr, generator.problem)
+        generator._solver_cache.clear()
+        t1v, rho1, it1 = generator.generate_and_evaluate(expr, evaluation_samples=3)
+        print(f"Gradient-tuned relaxation factors: rho {rho0:.4f} -> {rho1:.4f}, "
+              f"iterations {it0} -> {it1}")
+        with open(os.path.join(output_dir, "individual_0_tuned.txt"), "w") as f:
+            f.write(str(gp.parse_tree(best, optimizer._pset)) + "\n")
+            f.write(f"# tuned omegas: {[round(w, 4) for w in tuned]}\n")
+            f.write(f"# rho: {rho0} -> {rho1}\n")
+
     print(f"Results written to {output_dir}/")
     return 0
 

@@ -198,3 +198,29 @@ class TestFAS:
             20.0 * (1 + np.asarray(u)) * np.exp(np.asarray(u)),
             rtol=1e-6,
         )
+
+
+class TestHelmholtzLadder:
+    def test_k_ladder_generalization(self, tmp_path):
+        """Generalization ramp + PDE-parameter ladder: k doubles as the
+        grid refines (h·k fixed), mirroring the reference protocol
+        (scripts/optimize.py:34-37)."""
+        import random
+
+        from evostencils_tpu.optimization.optimizer import Optimizer
+
+        problem = helmholtz_2d(min_level=3, max_level=4, k=5.0, dtype=jnp.complex128)
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        opt = Optimizer.for_problem(
+            problem, program_generator=gen,
+            checkpoint_directory_path=str(tmp_path), rng=random.Random(6),
+        )
+        best, prog, pops, logs, hofs = opt.evolutionary_optimization(
+            mu_=3, lambda_=3, population_initialization_factor=1, generations=2,
+            generalization_interval=1, optimization_method=opt.SOGP,
+            evaluation_samples=1, maximum_local_system_size=4,
+            pde_parameter_values={"k": [5.0, 10.0]}, verbose=False,
+        )
+        assert opt.program_generator.problem.parameters["k"] == 10.0
+        assert opt.program_generator.problem.max_level == 5
+        assert hofs[-1][0].fitness_values is not None
