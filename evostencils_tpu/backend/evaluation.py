@@ -390,6 +390,7 @@ class JaxProgramGenerator:
         executing already-compiled individuals.
         """
         import concurrent.futures
+        import threading
 
         distinct = {}
         for expression in expressions:
@@ -400,6 +401,15 @@ class JaxProgramGenerator:
                 distinct.setdefault(key, expression)
         if not distinct:
             return 0
+
+        # Tracing deep unrolled cycles recurses heavily; default worker
+        # thread stacks can overflow (SIGSTKFLT kills the process without a
+        # traceback).  Give pool threads a generous stack.
+        previous_stack = threading.stack_size()
+        try:
+            threading.stack_size(64 * 1024 * 1024)
+        except (ValueError, RuntimeError):
+            previous_stack = None
 
         def build(expression):
             # _build_solver AOT-compiles and inserts into the shared cache;
@@ -413,8 +423,15 @@ class JaxProgramGenerator:
                 pass
             return None
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers) as pool:
-            list(pool.map(build, distinct.values()))
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers) as pool:
+                list(pool.map(build, distinct.values()))
+        finally:
+            if previous_stack is not None:
+                try:
+                    threading.stack_size(previous_stack)
+                except (ValueError, RuntimeError):
+                    pass
         return len(distinct)
 
     def _build_outer_solver(self, expression):

@@ -42,8 +42,22 @@ def max_level_for_k(k: float, hk: float = 0.625) -> int:
     return int(round(math.log2(k / hk)))
 
 
-def helmholtz_2d(min_level=3, max_level=7, k=80.0, shift=complex(1.0, 0.5), dtype=None) -> Problem:
+def helmholtz_2d(min_level=3, max_level=7, k=80.0, shift=complex(1.0, 0.5),
+                 boundary="dirichlet", dtype=None) -> Problem:
     import jax.numpy as jnp
+
+    def preconditioner_factory(level, params):
+        k_now = params.get("k", k)
+        shift_now = params.get("shift", shift)
+        if boundary == "robin":
+            return gallery.Helmholtz2DRobin(k_now, shift_now)
+        return gallery.Helmholtz2D(k_now, shift_now)
+
+    def outer_factory(level, params):
+        k_now = params.get("k", k)
+        if boundary == "robin":
+            return gallery.Helmholtz2DRobin(k_now, 1.0)
+        return gallery.Helmholtz2D(k_now, 1.0)
 
     return Problem(
         name="2D_FD_Helmholtz",
@@ -53,12 +67,7 @@ def helmholtz_2d(min_level=3, max_level=7, k=80.0, shift=complex(1.0, 0.5), dtyp
         fields=["u"],
         equation_strings=[("PrecEq", "M * u == f")],
         operator_factories={
-            "M": (
-                lambda level, params: gallery.Helmholtz2D(
-                    params.get("k", k), params.get("shift", shift)
-                ),
-                base.Operator,
-            ),
+            "M": (preconditioner_factory, base.Operator),
             "R_u": (
                 lambda level, params: gallery.FullWeightingRestrictionGenerator((2, 2)),
                 base.Restriction,
@@ -73,9 +82,7 @@ def helmholtz_2d(min_level=3, max_level=7, k=80.0, shift=complex(1.0, 0.5), dtyp
         parameters={"k": k, "shift": shift},
         outer_solver={
             "type": "preconditioned_bicgstab",
-            "operator_factory": lambda level, params: gallery.Helmholtz2D(
-                params.get("k", k), 1.0
-            ),
+            "operator_factory": outer_factory,
             "target_reduction": 1e-7,
             "max_iterations": 10000,
         },

@@ -107,6 +107,57 @@ class Helmholtz2D(StencilGenerator):
         )
 
 
+class Helmholtz2DRobin(StencilGenerator):
+    """Shifted Helmholtz with first-order Robin (radiation) boundaries.
+
+    The reference's Helmholtz config applies Robin conditions
+    du/dn − i·k·u = 0 on the boundary (2D_FD_Helmholtz_fromL3 applyBC_*).
+    On the interior-only representation, eliminating the boundary value
+    u_b = u_i / (1 − i·k·h) folds the condition into the boundary-adjacent
+    stencil rows — a position-dependent (complex) coefficient field, so
+    this generator is variable-coefficient: the center plane gains
+    −(1/h²)/(1 − i·k·h) at nodes adjacent to each boundary face.
+    """
+
+    def __init__(self, k: float, shift: complex = 1.0):
+        self.k = k
+        self.shift = shift
+
+    def is_variable(self) -> bool:
+        return True
+
+    def generate_stencil(self, grid):
+        # Interior sample (used by symbolic/LFA paths, which are
+        # boundary-agnostic): identical to the Dirichlet operator.
+        return Helmholtz2D(self.k, self.shift).generate_stencil(grid)
+
+    def generate_coefficient_arrays(self, grid):
+        import numpy as np
+
+        h0, h1 = grid.spacing
+        n0, n1 = grid.interior_shape
+        center_val = 2 / (h0 * h0) + 2 / (h1 * h1) - self.shift * self.k**2
+        center = np.full((n0, n1), center_val, dtype=np.complex128)
+        # Robin elimination factor per face (first-order ghost elimination).
+        for axis, h in ((0, h0), (1, h1)):
+            factor = (1.0 / (h * h)) / (1.0 - 1j * self.k * h)
+            if axis == 0:
+                center[0, :] -= factor
+                center[-1, :] -= factor
+            else:
+                center[:, 0] -= factor
+                center[:, -1] -= factor
+        offsets = [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1)]
+        planes = [
+            np.full((n0, n1), -1 / (h1 * h1), dtype=np.complex128),
+            np.full((n0, n1), -1 / (h0 * h0), dtype=np.complex128),
+            center,
+            np.full((n0, n1), -1 / (h0 * h0), dtype=np.complex128),
+            np.full((n0, n1), -1 / (h1 * h1), dtype=np.complex128),
+        ]
+        return tuple(offsets), planes
+
+
 def default_coefficient_2d(x, y, kappa=10.0):
     """exp(kappa·x(1-x)·y(1-y)) — reference gallery.py:87-90 (numpy-vectorized)."""
     return np.exp(kappa * ((x - x * x) * (y - y * y)))

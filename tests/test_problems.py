@@ -224,3 +224,32 @@ class TestHelmholtzLadder:
         assert opt.program_generator.problem.parameters["k"] == 10.0
         assert opt.program_generator.problem.max_level == 5
         assert hofs[-1][0].fitness_values is not None
+
+
+class TestHelmholtzRobin:
+    def test_robin_boundary_converges(self):
+        """First-order radiation BCs folded into boundary-adjacent stencil
+        rows (variable complex coefficients)."""
+        problem = helmholtz_2d(min_level=3, max_level=4, k=10.0,
+                               boundary="robin", dtype=jnp.complex128)
+        _, terminals = build_pset(problem, depth=1)
+        cycle = generate_v_cycle(
+            [terminals[0]], problem.rhs(), pre_smoothing=2, post_smoothing=1,
+            omega=0.6,
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
+        assert iters < 500
+        assert t < 1e50
+
+    def test_robin_planes_modify_boundary_rows(self):
+        from evostencils_tpu.stencils.gallery import Helmholtz2D, Helmholtz2DRobin
+        from evostencils_tpu.ir.base import Grid
+
+        grid = Grid((16, 16), (1 / 16, 1 / 16), 4)
+        offsets, planes = Helmholtz2DRobin(10.0, 1.0).generate_coefficient_arrays(grid)
+        center = planes[offsets.index((0, 0))]
+        interior_val = Helmholtz2D(10.0, 1.0).generate_stencil(grid).center_value()
+        assert np.allclose(center[5, 5], interior_val)
+        assert center[0, 5] != center[5, 5]  # boundary-adjacent row modified
+        assert abs(center[0, 5].imag) > 0  # complex radiation term
