@@ -9,6 +9,8 @@ cache invalidation, and a canonical string used as XLA compile-cache key.
 
 from __future__ import annotations
 
+import itertools
+
 from evostencils_tpu.ir import base, system
 
 
@@ -99,44 +101,56 @@ def collect_cycles(expression) -> list:
 
 
 _SIGNATURE_CACHE = {}
+_GENERATOR_UIDS = itertools.count()
 
 
 def _entry_signature(entry) -> str:
     """Stable per-process fingerprint of a scalar operator entry's stencil
     content (offsets, values, period) — distinguishes same-named operators
-    with different coefficients (block shapes, PDE parameters)."""
+    with different coefficients (block shapes, PDE parameters).
+
+    Content-keyed: caches/keys must never use raw `id(generator)` of
+    ephemeral per-compile generators — CPython reuses addresses after GC,
+    which aliased fresh block-smoother stencils onto stale signatures.
+    """
     gen = getattr(entry, "stencil_generator", None)
     if gen is None:
         return type(entry).__name__
-    key = (id(gen), getattr(entry, "grid", None))
-    cached = _SIGNATURE_CACHE.get(key)
-    if cached is not None:
-        return cached
     if getattr(gen, "is_nonlinear", False) or (
         getattr(gen, "is_variable", lambda: False)()
     ):
-        sig = f"g{id(gen):x}"
-    else:
-        try:
-            stencil = entry.generate_stencil()
-        except Exception:
-            stencil = None
-        if stencil is None:
-            sig = type(entry).__name__
-        else:
-            from evostencils_tpu.stencils import periodic as _periodic
+        # Long-lived problem-level generators: attach a unique id once;
+        # the attribute (not the address) is the identity.
+        uid = getattr(gen, "_signature_uid", None)
+        if uid is None:
+            uid = next(_GENERATOR_UIDS)
+            try:
+                gen._signature_uid = uid
+            except AttributeError:
+                pass
+        return f"g{uid}"
+    try:
+        stencil = entry.generate_stencil()
+    except Exception:
+        stencil = None
+    if stencil is None:
+        return type(entry).__name__
+    from evostencils_tpu.stencils import periodic as _periodic
 
-            p = _periodic.lift(stencil)
-            parts = [str(p.period)]
-            for cell in p.cells.flat:
-                if cell is None:
-                    parts.append("-")
-                else:
-                    parts.append(
-                        ";".join(f"{o}:{complex(v):.6e}" for o, v in cell.entries)
-                    )
-            sig = f"s{abs(hash('|'.join(parts))):x}"
-    _SIGNATURE_CACHE[key] = sig
+    p = _periodic.lift(stencil)
+    cached = _SIGNATURE_CACHE.get(p)
+    if cached is not None:
+        return cached
+    parts = [str(p.period)]
+    for cell in p.cells.flat:
+        if cell is None:
+            parts.append("-")
+        else:
+            parts.append(
+                ";".join(f"{o}:{complex(v):.6e}" for o, v in cell.entries)
+            )
+    sig = f"s{abs(hash('|'.join(parts))):x}"
+    _SIGNATURE_CACHE[p] = sig
     return sig
 
 

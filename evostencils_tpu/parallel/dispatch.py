@@ -35,8 +35,22 @@ class ThreadPoolDispatcher:
     def map(self, fn: Callable, items: Sequence) -> List:
         if len(items) <= 1 or self.max_workers == 1:
             return [fn(item) for item in items]
-        with concurrent.futures.ThreadPoolExecutor(self.max_workers) as pool:
-            return list(pool.map(fn, items))
+        # Generous worker stacks: tracing deep cycle graphs overflows the
+        # default thread stack (SIGSTKFLT, no traceback).
+        previous = threading.stack_size()
+        try:
+            threading.stack_size(64 * 1024 * 1024)
+        except (ValueError, RuntimeError):
+            previous = None
+        try:
+            with concurrent.futures.ThreadPoolExecutor(self.max_workers) as pool:
+                return list(pool.map(fn, items))
+        finally:
+            if previous is not None:
+                try:
+                    threading.stack_size(previous)
+                except (ValueError, RuntimeError):
+                    pass
 
 
 class SerialDispatcher:

@@ -1,0 +1,72 @@
+"""Utility-layer tests: logbooks, halls of fame, visualization files."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from evostencils_tpu.grammar.gp import Terminal, Tree
+from evostencils_tpu.utils.logbook import HallOfFame, Logbook, MultiStatistics, Statistics
+from evostencils_tpu.utils.visualization import draw_tree
+
+
+def ind(name, fit):
+    t = Tree([Terminal(name, None, 1)])
+    t.fitness_values = fit
+    return t
+
+
+class TestLogbook:
+    def test_record_select_stream(self):
+        lb = Logbook()
+        lb.record(gen=0, nevals=8, fitness={"min": 1.0, "avg": 2.0})
+        lb.record(gen=1, nevals=4, fitness={"min": 0.5, "avg": 1.5})
+        gens, nevals = lb.select("gen", "nevals")
+        assert gens == [0, 1] and nevals == [8, 4]
+        assert "gen=1" in lb.stream and "min=0.5" in lb.stream
+
+    def test_statistics_ignore_infinities(self):
+        stats = Statistics(lambda i: i.fitness_values[0])
+        stats.register("min", np.min)
+        pop = [ind("a", (1.0,)), ind("b", (float("inf"),))]
+        assert stats.compile(pop)["min"] == 1.0
+
+    def test_multistatistics_fields(self):
+        ms = MultiStatistics(
+            fitness=Statistics(lambda i: i.fitness_values[0]),
+            size=Statistics(len),
+        )
+        ms.register("avg", np.mean)
+        record = ms.compile([ind("a", (2.0,)), ind("b", (4.0,))])
+        assert record["fitness"]["avg"] == 3.0
+        assert record["size"]["avg"] == 1.0
+
+
+class TestHallOfFame:
+    def test_keeps_best_and_dedups(self):
+        hof = HallOfFame(2)
+        hof.update([ind("a", (3.0,)), ind("b", (1.0,)), ind("a", (2.0,))])
+        assert [str(i) for i in hof] == ["a", "b"] or [str(i) for i in hof] == ["b", "a"]
+        assert hof[0].fitness_values == (1.0,)
+        # better duplicate replaces the stored one
+        hof.update([ind("b", (0.5,))])
+        assert hof[0].fitness_values == (0.5,)
+
+
+class TestVisualization:
+    def test_draw_tree_writes_dot(self, tmp_path, rng):
+        from evostencils_tpu.grammar import gp
+        from evostencils_tpu.grammar.multigrid import generate_primitive_set
+        from evostencils_tpu.problems.poisson import poisson_2d
+
+        problem = poisson_2d(min_level=3, max_level=4, dtype=jnp.float64)
+        pset, _ = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+            4, problem.equations, problem.operators, problem.fields, depth=1,
+            maximum_local_system_size=4,
+        )
+        tree = gp.gen_grow(pset, 2, 8, rng=rng)
+        path = draw_tree(tree, str(tmp_path / "tree"))
+        assert os.path.isfile(path)
+        content = open(path).read()
+        assert content.startswith("digraph")
