@@ -100,6 +100,8 @@ class JaxProgramGenerator:
         self.device = device
         self.lowering = CycleLowering(self.dtype)
         self._solver_cache = {}
+        self._power_fns = {}
+        self._vmapped_cache = {}
         self._timer_cache = {}
         self.run_time_total = 0.0
         self.compile_time_total = 0.0
@@ -156,6 +158,8 @@ class JaxProgramGenerator:
         self._level_offset = level_offset
         self.problem = self.problem.with_levels(min_level, max_level)
         self._solver_cache.clear()
+        self._power_fns.clear()
+        self._vmapped_cache.clear()
         self._timer_cache.clear()
 
     def generate_cycle_function(self, expression, storages=None, min_level=None,
@@ -313,10 +317,142 @@ class JaxProgramGenerator:
         if not getattr(self.problem, "uses_fas", False) and not is_f64:
             power_compiled = self._aot_compile_power(power, expression, len(omega_values))
             stage_handle = stage  # lazy: jax.jit compiles on first call
+            self._power_fns[key] = power
         else:
             stage_handle = self._aot_compile(stage, expression, len(omega_values))
         self._solver_cache[key] = (stage_handle, power_compiled, operator)
         return (stage_handle, power_compiled, operator), omega_values, True
+
+    def _vmapped_power(self, key, expression, bucket: int, n_omegas: int):
+        """vmap the power iteration over a batch of relaxation-factor
+        vectors: same-structure individuals (the dominant offspring class —
+        ω-retuning mutations) evaluate in ONE device dispatch.  Bucketed
+        batch sizes bound the number of compilations per structure."""
+        cache_key = (key, bucket)
+        if cache_key in self._vmapped_cache:
+            return self._vmapped_cache[cache_key]
+        power = self._power_fns[key]
+        vmapped = jax.jit(jax.vmap(power, in_axes=(None, None, 0)))
+        u0, f = self.problem.initial_state(
+            self.dtype, level=self._expression_level(expression)
+        )
+        rng = np.random.default_rng(7)
+        e0 = tuple(
+            jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype) for x in u0
+        )
+        zf = tuple(jnp.zeros_like(x) for x in f)
+        omegas = jnp.zeros((bucket, n_omegas), dtype=jnp.float32)
+        compiled = vmapped.lower(e0, zf, omegas).compile()
+        self._vmapped_cache[cache_key] = compiled
+        return compiled
+
+    def generate_and_evaluate_group(
+        self, expressions, infinity=1e100, evaluation_samples=3,
+        global_variable_values=None,
+    ):
+        """Batched evaluation of same-structure individuals.
+
+        All expressions must share the ω-parameterized structural key; ρ is
+        computed for the whole group by one vmapped power-iteration
+        dispatch, and time/iteration — identical across the group (same
+        executable) — is measured once on the first surviving member.
+        Returns a list of (time_to_convergence, ρ, iterations) triples.
+        """
+        if global_variable_values:
+            changed = any(
+                self.problem.parameters.get(k) != v
+                for k, v in global_variable_values.items()
+            )
+            if changed:
+                self.problem = self.problem.with_parameters(global_variable_values)
+                self._solver_cache.clear()
+                self._power_fns.clear()
+                self._vmapped_cache.clear()
+        if getattr(self.problem, "outer_solver", None) or getattr(
+            self.problem, "uses_fas", False
+        ):
+            return [
+                self.generate_and_evaluate(
+                    e, infinity=infinity, evaluation_samples=evaluation_samples
+                )
+                for e in expressions
+            ]
+        try:
+            (stage_solve, power_compiled, operator), _, _ = self._build_solver(
+                expressions[0]
+            )
+            key = canonical_string(expressions[0], parameterize_relaxation=True)
+            if power_compiled is None or key not in self._power_fns:
+                raise RuntimeError("no batched path")
+            omegas_rows = [
+                [float(c.relaxation_factor) for c in collect_cycles(e)]
+                for e in expressions
+            ]
+            n = len(expressions)
+            bucket = 2
+            while bucket < n:
+                bucket *= 2
+            bucket = min(bucket, 16)
+            if n > bucket:
+                # larger than the biggest bucket: split recursively
+                return self.generate_and_evaluate_group(
+                    expressions[:bucket], infinity, evaluation_samples
+                ) + self.generate_and_evaluate_group(
+                    expressions[bucket:], infinity, evaluation_samples
+                )
+            mat = np.tile(np.asarray(omegas_rows[0], dtype=np.float32), (bucket, 1))
+            for i, row in enumerate(omegas_rows):
+                mat[i, :] = row
+            vm = self._vmapped_power(key, expressions[0], bucket, mat.shape[1])
+            u0, f = self.problem.initial_state(
+                self.dtype, level=self._expression_level(expressions[0])
+            )
+            rng = np.random.default_rng(7)
+            e0 = tuple(
+                jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype)
+                for x in u0
+            )
+            zf = tuple(jnp.zeros_like(x) for x in f)
+            rates, _ = jax.block_until_ready(vm(e0, zf, jnp.asarray(mat)))
+            rates = np.asarray(jnp.real(rates))[:n]
+        except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
+            return [
+                self.generate_and_evaluate(
+                    e, infinity=infinity, evaluation_samples=evaluation_samples
+                )
+                for e in expressions
+            ]
+
+        results = []
+        t_iter_ms = None
+        for i, rate in enumerate(rates):
+            rate = float(rate)
+            if not math.isfinite(rate) or rate <= 0.0:
+                results.append((infinity, infinity, infinity))
+                continue
+            if rate >= 1.0:
+                results.append((infinity, rate, infinity))
+                continue
+            iterations = int(math.ceil(math.log(self.epsilon) / math.log(rate)))
+            if iterations > self.iteration_limit:
+                results.append((infinity, rate, infinity))
+                continue
+            if t_iter_ms is None:
+                omegas_i = jnp.asarray(omegas_rows[i], dtype=jnp.float32)
+                _, _, _, _, executed = jax.block_until_ready(
+                    stage_solve(u0, f, omegas_i)
+                )
+                executed = max(1, int(executed))
+                times = []
+                for _ in range(max(1, evaluation_samples)):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(stage_solve(u0, f, omegas_i))
+                    times.append(time.perf_counter() - t0)
+                times.sort()
+                t_iter_ms = 1e3 * times[len(times) // 2] / executed
+                self.run_time_total += sum(times)
+            results.append((iterations * t_iter_ms, rate, iterations))
+        return results
 
     def _aot_compile_power(self, power, expression, n_omegas):
         u0, f = self.problem.initial_state(

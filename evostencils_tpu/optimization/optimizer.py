@@ -401,31 +401,78 @@ class Optimizer:
         self.add_individual_to_cache(individual, fitness)
         return fitness
 
-    def _evaluate_population(self, individuals, evaluate: Callable):
+    def _measurement_to_fitness(self, t, rho, iterations):
+        """Fitness rules shared by single and batched measured evaluation
+        (reference program.py:413-415, 449-451)."""
+        if self._n_objectives == 2:
+            if iterations >= self.infinity or not math.isfinite(t):
+                return (rho, self.infinity)
+            return (rho, t / iterations)
+        if iterations >= self.infinity:
+            return (min(rho, self.infinity) ** 0.5 * self.infinity**0.5,)
+        return (t,)
+
+    def _evaluate_population(self, individuals, evaluate: Callable,
+                             evaluation_samples=3, pde_parameter_values=None):
         """Evaluate all invalid individuals.
 
         Distinct cycle structures are XLA-compiled concurrently first
-        (program_generator.precompile), then evaluations run serially for
-        clean on-device timing — the TPU analog of the reference's
-        per-rank parallel java+make (program.py:478-502)."""
+        (program_generator.precompile); same-structure individuals (the
+        dominant offspring class: ω-retuning mutations) then evaluate in
+        batched vmapped dispatches; the rest run serially — the TPU analog
+        of the reference's per-rank parallel java+make (program.py:478-502)."""
+        from evostencils_tpu.ir.transformations import canonical_string
+
         invalid = [ind for ind in individuals if ind.fitness_values is None]
+
+        groups = {}
+        singles = []
+        can_group = (
+            getattr(self, "_measured_evaluation", False)
+            and hasattr(self._program_generator, "generate_and_evaluate_group")
+        )
+        expressions_for_precompile = []
+        for ind in invalid:
+            if len(ind) > 150 or self.individual_in_cache(ind):
+                singles.append(ind)
+                continue
+            try:
+                expr, _ = self.compile_individual(ind)
+            except (MemoryError, RuntimeError):
+                singles.append(ind)
+                continue
+            expressions_for_precompile.append(expr)
+            if can_group:
+                key = canonical_string(expr, parameterize_relaxation=True)
+                groups.setdefault(key, []).append((ind, expr))
+            else:
+                singles.append(ind)
+
         if hasattr(self._program_generator, "precompile") and len(invalid) > 1:
-            expressions = []
-            for ind in invalid:
-                if len(ind) > 150 or self.individual_in_cache(ind):
-                    continue
-                try:
-                    expr, _ = self.compile_individual(ind)
-                    expressions.append(expr)
-                except (MemoryError, RuntimeError):
-                    pass
-            if expressions:
-                self._program_generator.precompile(expressions)
+            if expressions_for_precompile:
+                self._program_generator.precompile(expressions_for_precompile)
+
+        for key, members in list(groups.items()):
+            if len(members) == 1:
+                singles.append(members[0][0])
+                continue
+            measurements = self._program_generator.generate_and_evaluate_group(
+                [expr for _, expr in members],
+                infinity=self.infinity,
+                evaluation_samples=evaluation_samples,
+                global_variable_values=pde_parameter_values or {},
+            )
+            for (ind, _), (t, rho, iterations) in zip(members, measurements):
+                fitness = self._measurement_to_fitness(t, rho, iterations)
+                self._total_number_of_evaluations += 1
+                self.add_individual_to_cache(ind, fitness)
+                ind.fitness_values = tuple(fitness)
+
         if self._dispatcher is not None:
-            results = self._dispatcher.map(evaluate, invalid)
+            results = self._dispatcher.map(evaluate, singles)
         else:
-            results = [evaluate(ind) for ind in invalid]
-        for ind, fit in zip(invalid, results):
+            results = [evaluate(ind) for ind in singles]
+        for ind, fit in zip(singles, results):
             ind.fitness_values = tuple(fit)
         return len(invalid)
 
@@ -496,6 +543,8 @@ class Optimizer:
                 evaluation_samples=evaluation_samples,
                 pde_parameter_values=current_parameters,
             ),
+            evaluation_samples=evaluation_samples,
+            pde_parameter_values=current_parameters,
         )
         population = select(population, min(mu_, len(population)))
         hof.update(population)
@@ -545,6 +594,8 @@ class Optimizer:
                         evaluation_samples=evaluation_samples,
                         pde_parameter_values=current_parameters,
                     ),
+                    evaluation_samples=evaluation_samples,
+                    pde_parameter_values=current_parameters,
                 )
                 population = select(population, min(mu_, len(population)))
                 hof.update(population)
@@ -599,6 +650,8 @@ class Optimizer:
                     evaluation_samples=evaluation_samples,
                     pde_parameter_values=current_parameters,
                 ),
+                evaluation_samples=evaluation_samples,
+                pde_parameter_values=current_parameters,
             )
             hof.update(offspring)
 
@@ -654,6 +707,8 @@ class Optimizer:
         )
 
     def SOGP(self, model_based_estimation=False, **kwargs):
+        self._n_objectives = 1
+        self._measured_evaluation = not model_based_estimation
         evaluate = (
             (lambda ind, evaluation_samples=3, pde_parameter_values=None:
              self.estimate_single_objective(ind))
@@ -673,6 +728,8 @@ class Optimizer:
         )
 
     def NSGAII(self, model_based_estimation=False, **kwargs):
+        self._n_objectives = 2
+        self._measured_evaluation = not model_based_estimation
         evaluate = (
             (lambda ind, evaluation_samples=3, pde_parameter_values=None:
              self.estimate_multiple_objectives(ind))
@@ -696,6 +753,8 @@ class Optimizer:
         )
 
     def NSGAIII(self, model_based_estimation=False, **kwargs):
+        self._n_objectives = 2
+        self._measured_evaluation = not model_based_estimation
         evaluate = (
             (lambda ind, evaluation_samples=3, pde_parameter_values=None:
              self.estimate_multiple_objectives(ind))

@@ -117,3 +117,49 @@ class TestCaching:
         for e in exprs:
             _, _, built = gen._build_solver(e)
             assert built is False
+
+
+class TestBatchedGroupEvaluation:
+    def test_group_matches_individual_measurements(self, setup):
+        """vmapped same-structure evaluation (population batching over the
+        relaxation-factor axis) must agree with one-by-one evaluation."""
+        problem32 = poisson_2d(min_level=4, max_level=5, dtype=jnp.float32)
+        _, terminals = generate_primitive_set(
+            problem32.approximation(), problem32.rhs(), 2,
+            problem32.coarsening_factors, 5, problem32.equations,
+            problem32.operators, problem32.fields, depth=1,
+            maximum_local_system_size=4,
+        )
+        t0 = terminals[0]
+        f = problem32.rhs()
+
+        def two_grid(w):
+            u, A = t0.approximation, t0.operator
+            for _ in range(2):
+                res = base.Residual(A, u, f)
+                corr = base.Multiplication(
+                    base.Inverse(smoother.generate_collective_jacobi(A)), res
+                )
+                u = base.Cycle(u, f, corr, partitioning=part.RedBlack,
+                               relaxation_factor=w)
+            res = base.Residual(A, u, f)
+            f_c = base.Multiplication(t0.restriction, res)
+            cgc = base.Multiplication(
+                base.CoarseGridSolver("CGS", t0.coarse_operator), f_c
+            )
+            corr = base.Multiplication(t0.prolongation, cgc)
+            return base.Cycle(u, f, corr, relaxation_factor=1.0)
+
+        exprs = [two_grid(w) for w in (0.6, 1.0, 1.4, 1.9)]
+        gen = JaxProgramGenerator(problem32, dtype=jnp.float32)
+        grouped = gen.generate_and_evaluate_group(exprs, evaluation_samples=1)
+        gen2 = JaxProgramGenerator(problem32, dtype=jnp.float32)
+        single = [
+            gen2.generate_and_evaluate(e, evaluation_samples=1) for e in exprs
+        ]
+        for (tg, rg, ig), (ts, rs, is_) in zip(grouped, single):
+            if rs >= 1e50:
+                assert rg >= 1e50 or rg >= 1.0
+            else:
+                assert rg == pytest.approx(rs, rel=1e-5)
+                assert ig == is_
