@@ -8,7 +8,7 @@ pin the backend's numerics against known-good multigrid behavior.
 
 from __future__ import annotations
 
-from evostencils_tpu.ir import base, smoother, system
+from evostencils_tpu.ir import base, smoother
 from evostencils_tpu.ir import partitioning as part
 
 

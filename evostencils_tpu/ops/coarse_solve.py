@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from evostencils_tpu.stencils import constant, periodic
+from evostencils_tpu.stencils import periodic
 
 
 def assemble_scalar_matrix(

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from evostencils_tpu.stencils import constant, periodic
+from evostencils_tpu.stencils import periodic
 
 
 def decoupled_jacobi_apply(r_fields: Sequence[jax.Array], inv_diags) -> Tuple[jax.Array, ...]:

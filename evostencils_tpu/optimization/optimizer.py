@@ -33,7 +33,7 @@ import numpy as np
 
 from evostencils_tpu.grammar import gp
 from evostencils_tpu.grammar import multigrid as mg_grammar
-from evostencils_tpu.ir import system, transformations
+from evostencils_tpu.ir import system
 from evostencils_tpu.optimization import selection
 from evostencils_tpu.utils.logbook import (
     HallOfFame,

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import math
 import random
-from itertools import combinations
 from typing import List, Sequence
 
 import numpy as np
