@@ -3,23 +3,31 @@
 This is the TPU-native `ProgramGenerator` (duck-typed protocol the
 optimizer consumes — reference optimization/program.py:110-146, implemented
 by code_generation/exastencils.py:39-592 in the reference).  Instead of
-java → make → subprocess, an evolved cycle expression is lowered to one
-jitted step function, executed in a `lax.while_loop` against the residual
-target, and timed with `block_until_ready` on a fixed-iteration loop.
+java → make → subprocess, an evolved cycle expression is lowered to jitted
+device functions, executed and timed with `block_until_ready`.
 
 Fitness semantics preserved (reference exastencils.py:417-443,539-584;
-program.py:386-453):
-  * convergence factor = geometric mean of per-iteration residual ratios,
-  * iteration-limit breach / NaN / divergence → infinity poisoning,
-  * (time to 1e-12 reduction, ρ, iterations) triple returned per evaluation.
+program.py:386-453): ρ, time to the 1e-12 residual target, iteration
+count; iteration-cap breach / NaN / divergence → infinity poisoning.
 
-One deliberate TPU-first deviation: TPUs execute float32 natively, so the
-solver runs to a measured reduction of `measure_reduction` (1e-6 by
-default) and extrapolates the iteration count to the reference's 1e-12
-target from the measured asymptotic ρ (iterations = ⌈log ε / log ρ⌉).
-Both NSGA-II objectives (ρ, time/iteration) are *measured* quantities; the
-extrapolation only enters the scalar time-to-convergence fitness.  Under
-JAX x64 (CPU tests) the full 1e-12 run is used directly.
+Measurement strategies per regime:
+  * f32 linear cycles (TPU hot path): asymptotic ρ via error-propagation
+    power iteration — e ← C(ω)·e with f ≡ 0, renormalized blocks until the
+    rate stabilizes.  Floor-free (nothing is subtracted) and exact
+    (validated against dense spectral radii); iterations to 1e-12 follow
+    as ⌈log ε / log ρ⌉ and time/iteration is measured on the real
+    residual-driven solve, compiled lazily for survivors only.
+  * f64 (CPU tests) and nonlinear FAS: residual-driven `lax.while_loop`
+    runs with stall patience, pace-based early exit, and — for linear f64
+    — host-refined float64 restarts on the error equation.
+  * Helmholtz-style problems: the evolved cycle preconditions an outer
+    BiCGStab run on the indefinite operator (the reference's hand-written
+    driver).
+
+Throughput machinery: structural compile cache keyed modulo relaxation
+factors (ω is a traced vector argument), AOT-compiled executables,
+threaded precompilation of a population's distinct structures, and
+vmapped batched evaluation of same-structure individuals over the ω axis.
 """
 
 from __future__ import annotations
