@@ -82,3 +82,32 @@ def test_batched_sharded_evaluation(setup):
     # two cycles must beat one
     res1 = residual_fn(tuple(x[0] for x in u_b), tuple(x[0] for x in f_b))
     assert float(res[0]) < float(res1)
+
+
+def test_sharded_3d_cycle_matches_single_device():
+    """3D spatial sharding: XLA partitions the 7-point stencil sums with
+    halo exchanges on the leading axis."""
+    from evostencils_tpu.problems.poisson import poisson_3d
+
+    problem = poisson_3d(min_level=2, max_level=4, dtype=jnp.float64)
+    _, terminals = generate_primitive_set(
+        problem.approximation(), problem.rhs(), 3, problem.coarsening_factors,
+        problem.max_level, problem.equations, problem.operators, problem.fields,
+        depth=2,
+    )
+    cycle = generate_v_cycle(terminals, problem.rhs(), pre_smoothing=1, post_smoothing=1)
+    lowering = CycleLowering(jnp.float64)
+    step = lowering.lower(cycle)
+    u0, f = problem.initial_state(jnp.float64)
+    expected = jax.jit(step)(u0, f)
+    mesh = build_mesh(8)
+    with mesh:
+
+        @jax.jit
+        def sharded(u, f):
+            return shard_state(step(shard_state(u, mesh), shard_state(f, mesh)), mesh)
+
+        got = sharded(u0, f)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expected[0]), rtol=1e-12, atol=1e-12
+    )
