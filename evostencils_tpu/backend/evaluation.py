@@ -47,6 +47,24 @@ from evostencils_tpu.ir.transformations import canonical_string, collect_cycles
 from evostencils_tpu.ops import stencil_ops as sops
 
 
+
+
+def _np_dtype(dtype):
+    return np.dtype(jnp.dtype(dtype))
+
+
+def _dtype_is_complex(dtype) -> bool:
+    return np.issubdtype(_np_dtype(dtype), np.complexfloating)
+
+
+def _dtype_is_64bit(dtype) -> bool:
+    """True for float64/complex128 — NEVER probe via jnp.zeros(dtype):
+    materializing even a scalar complex device buffer permanently breaks
+    the development TPU backend session (all subsequent executions return
+    UNIMPLEMENTED)."""
+    return _np_dtype(dtype) in (np.dtype(np.float64), np.dtype(np.complex128))
+
+
 class EvaluationResult:
     __slots__ = (
         "time_to_convergence",
@@ -97,15 +115,20 @@ class JaxProgramGenerator:
             # restarted stages compound to the 1e-12 reference target while
             # each window stays well above the f32 residual floor (whose
             # tail would otherwise dilute the measured contraction).
-            is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (
-                jnp.float64,
-                jnp.complex128,
-            )
+            is_f64 = _dtype_is_64bit(self.dtype)
             measure_reduction = self.epsilon if is_f64 else max(self.epsilon, 1e-4)
         self.measure_reduction = measure_reduction
         self.timing_iterations = timing_iterations
         self.device = device
         self.lowering = CycleLowering(self.dtype)
+        # The development TPU backend executes complex math fine but cannot
+        # carry complex arrays across jit I/O boundaries (UNIMPLEMENTED on
+        # buffer transfer/execution).  For complex dtypes every solver jit
+        # therefore takes/returns (real, imag) pairs and reassembles
+        # complex fields on device (lax.complex).
+        self._complex_io = _dtype_is_complex(self.dtype) and (
+            jax.default_backend() != "cpu"
+        )
         self._solver_cache = {}
         self._power_fns = {}
         self._vmapped_cache = {}
@@ -113,6 +136,62 @@ class JaxProgramGenerator:
         self.run_time_total = 0.0
         self.compile_time_total = 0.0
         self._level_offset = 0
+
+    # ---- complex-as-real-pairs jit I/O helpers ----
+
+    def _state_to_realpairs(self, state):
+        """Split a complex state tuple into a pytree of (re, im) real pairs
+        (host-side numpy split; no complex device buffers are created)."""
+        if not self._complex_io:
+            return state
+        out = []
+        for x in state:
+            xn = np.asarray(x)
+            real_dtype = np.real(xn).dtype
+            out.append(
+                (
+                    jnp.asarray(np.real(xn), dtype=real_dtype),
+                    jnp.asarray(np.imag(xn), dtype=real_dtype),
+                )
+            )
+        return tuple(out)
+
+    def _wrap_complex_io(self, fn):
+        """fn(u, f, omegas) -> real outputs, with u/f complex states; the
+        wrapped version takes (re, im)-pair pytrees instead."""
+        if not self._complex_io:
+            return fn
+
+        def wrapped(u_pairs, f_pairs, omegas):
+            u = tuple(jax.lax.complex(r, i) for r, i in u_pairs)
+            f = tuple(jax.lax.complex(r, i) for r, i in f_pairs)
+            return fn(u, f, omegas)
+
+        return wrapped
+
+    def _wrap_stage_io(self, stage_fn):
+        """Like _wrap_complex_io, additionally converting the stage's
+        best_u output (a complex state) to (re, im) pairs."""
+        if not self._complex_io:
+            return stage_fn
+
+        def wrapped(u_pairs, f_pairs, omegas):
+            u = tuple(jax.lax.complex(r, i) for r, i in u_pairs)
+            f = tuple(jax.lax.complex(r, i) for r, i in f_pairs)
+            best_res, res0, best_it, best_u, executed = stage_fn(u, f, omegas)
+            best_u_pairs = tuple((jnp.real(x), jnp.imag(x)) for x in best_u)
+            return best_res, res0, best_it, best_u_pairs, executed
+
+        return wrapped
+
+    def _initial_state_for(self, expression):
+        """(u0, f) at the expression's level, as jit-ready arguments
+        (complex states become (re, im) pairs under complex I/O mode)."""
+        u0, f = self.problem.initial_state(
+            self.dtype, level=self._expression_level(expression),
+            host=self._complex_io,
+        )
+        return self._state_to_realpairs(u0), self._state_to_realpairs(f)
 
     # ---- problem properties (protocol surface) ----
 
@@ -225,8 +304,7 @@ class JaxProgramGenerator:
         # floor and the best point so far defines this stage's reduction.
         patience = 5
 
-        @jax.jit
-        def stage(u0, rhs, omegas):
+        def stage_raw(u0, rhs, omegas):
             res0 = residual_norm(u0, rhs)
             zero = jnp.asarray(0, dtype=jnp.int32)
 
@@ -276,8 +354,7 @@ class JaxProgramGenerator:
         # spectral radii in tests).
         block_len = 10
 
-        @jax.jit
-        def power(e0, zf, omegas):
+        def power_raw(e0, zf, omegas):
             def one_block(e):
                 def body(_, e):
                     return step(e, zf, omegas)
@@ -311,15 +388,15 @@ class JaxProgramGenerator:
             )
             return rate, k * block_len
 
+        stage = jax.jit(self._wrap_stage_io(stage_raw))
+        power = jax.jit(self._wrap_complex_io(power_raw))
+
         # Eager-compile only what fitness needs first: for f32 linear
         # cycles that is the power iteration (it decides poisoning); the
         # residual stage is then compiled lazily, and only for survivors
         # that reach the timing phase.  Nonlinear/f64 paths need the stage
         # eagerly.
-        is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (
-            jnp.float64,
-            jnp.complex128,
-        )
+        is_f64 = _dtype_is_64bit(self.dtype)
         power_compiled = None
         if not getattr(self.problem, "uses_fas", False) and not is_f64:
             power_compiled = self._aot_compile_power(power, expression, len(omega_values))
@@ -341,13 +418,20 @@ class JaxProgramGenerator:
         power = self._power_fns[key]
         vmapped = jax.jit(jax.vmap(power, in_axes=(None, None, 0)))
         u0, f = self.problem.initial_state(
-            self.dtype, level=self._expression_level(expression)
+            self.dtype, level=self._expression_level(expression),
+            host=self._complex_io,
         )
         rng = np.random.default_rng(7)
-        e0 = tuple(
-            jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype) for x in u0
+        np_dtype = np.dtype(jnp.dtype(self.dtype))
+        e0 = self._state_to_realpairs(
+            tuple(
+                rng.standard_normal(np.asarray(x).shape).astype(np_dtype)
+                for x in u0
+            )
         )
-        zf = tuple(jnp.zeros_like(x) for x in f)
+        zf = self._state_to_realpairs(
+            tuple(np.zeros(np.asarray(x).shape, dtype=np_dtype) for x in u0)
+        )
         omegas = jnp.zeros((bucket, n_omegas), dtype=jnp.float32)
         compiled = vmapped.lower(e0, zf, omegas).compile()
         self._vmapped_cache[cache_key] = compiled
@@ -411,15 +495,23 @@ class JaxProgramGenerator:
             for i, row in enumerate(omegas_rows):
                 mat[i, :] = row
             vm = self._vmapped_power(key, expressions[0], bucket, mat.shape[1])
-            u0, f = self.problem.initial_state(
-                self.dtype, level=self._expression_level(expressions[0])
+            u0_raw, f_raw = self.problem.initial_state(
+                self.dtype, level=self._expression_level(expressions[0]),
+                host=self._complex_io,
             )
+            u0 = self._state_to_realpairs(u0_raw)
+            f = self._state_to_realpairs(f_raw)
             rng = np.random.default_rng(7)
-            e0 = tuple(
-                jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype)
-                for x in u0
+            np_dtype = np.dtype(jnp.dtype(self.dtype))
+            e0 = self._state_to_realpairs(
+                tuple(
+                    rng.standard_normal(np.asarray(x).shape).astype(np_dtype)
+                    for x in u0_raw
+                )
             )
-            zf = tuple(jnp.zeros_like(x) for x in f)
+            zf = self._state_to_realpairs(
+                tuple(np.zeros(np.asarray(x).shape, dtype=np_dtype) for x in u0_raw)
+            )
             rates, _ = jax.block_until_ready(vm(e0, zf, jnp.asarray(mat)))
             rates = np.asarray(jnp.real(rates))[:n]
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
@@ -462,16 +554,22 @@ class JaxProgramGenerator:
         return results
 
     def _aot_compile_power(self, power, expression, n_omegas):
+        if self._complex_io:
+            return power  # see _aot_compile: AOT lacks complex support
         u0, f = self.problem.initial_state(
-            self.dtype, level=self._expression_level(expression)
+            self.dtype, level=self._expression_level(expression),
+            host=self._complex_io,
         )
         rng = np.random.default_rng(7)
         e0 = tuple(
-            jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype) for x in u0
+            np.asarray(rng.standard_normal(x.shape)).astype(np.dtype(jnp.dtype(self.dtype)))
+            for x in u0
         )
-        zf = tuple(jnp.zeros_like(x) for x in f)
+        zf = tuple(np.zeros_like(np.asarray(x)) for x in f)
         omegas = jnp.zeros((n_omegas,), dtype=jnp.float32)
-        return power.lower(e0, zf, omegas).compile()
+        return power.lower(
+            self._state_to_realpairs(e0), self._state_to_realpairs(zf), omegas
+        ).compile()
 
     def _host_residual(self, operator, u_fields, f_fields):
         """Exact float64 residual computed on host.
@@ -516,10 +614,16 @@ class JaxProgramGenerator:
     def _aot_compile(self, solve, expression, n_omegas):
         """Ahead-of-time compile for the run's input shapes: the cached
         object is the XLA executable itself, so cache hits skip tracing
-        entirely (the TPU analog of reusing a built solver binary)."""
-        u0, f = self.problem.initial_state(
-            self.dtype, level=self._expression_level(expression)
-        )
+        entirely (the TPU analog of reusing a built solver binary).
+
+        Complex-internal graphs skip AOT: the development TPU backend's
+        AOT path rejects them (UNIMPLEMENTED) while regular jit dispatch
+        executes the identical graph fine — the plain jitted callable is
+        cached instead (its internal executable cache engages on first
+        call)."""
+        if self._complex_io:
+            return solve
+        u0, f = self._initial_state_for(expression)
         omegas = jnp.zeros((n_omegas,), dtype=jnp.float32)
         return solve.lower(u0, f, omegas).compile()
 
@@ -597,7 +701,7 @@ class JaxProgramGenerator:
         outer_operator = system.Operator("A_outer", [[outer_entry]])
         lowering = self.lowering
         target = spec["target_reduction"]
-        is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (jnp.float64, jnp.complex128)
+        is_f64 = _dtype_is_64bit(self.dtype)
         if not is_f64:
             target = max(target, 1e-6)
         max_iterations = spec["max_iterations"]
@@ -605,8 +709,7 @@ class JaxProgramGenerator:
         def apply_a(state):
             return lowering.system_apply(outer_operator, state)
 
-        @jax.jit
-        def solve(u0, f, omegas):
+        def solve_raw(u0, f, omegas):
             def apply_m(state):
                 zeros = tuple(jnp.zeros_like(x) for x in state)
                 return step(zeros, state, omegas)
@@ -615,8 +718,9 @@ class JaxProgramGenerator:
                 apply_a, apply_m, f, max_iterations, target
             )
             res0 = sops.l2_norm(f)
-            return res, res0, it
+            return jnp.real(res), jnp.real(res0), it
 
+        solve = jax.jit(self._wrap_complex_io(solve_raw))
         compiled = self._aot_compile(solve, expression, len(omega_values))
         self._solver_cache[key] = compiled
         return compiled, omega_values, True
@@ -658,10 +762,7 @@ class JaxProgramGenerator:
             )
             omegas = jnp.asarray(omega_values, dtype=jnp.float32)
 
-            is_f64 = jnp.zeros((), dtype=self.dtype).dtype in (
-                jnp.float64,
-                jnp.complex128,
-            )
+            is_f64 = _dtype_is_64bit(self.dtype)
             if power_solve is not None and not is_f64:
                 # f32 linear cycles: asymptotic ρ via power iteration on
                 # the error-propagation operator (floor-free, exact); the
@@ -795,9 +896,7 @@ class JaxProgramGenerator:
         try:
             t0 = time.perf_counter()
             solve, omega_values, newly_compiled = self._build_outer_solver(expression)
-            u0, f = self.problem.initial_state(
-                self.dtype, level=self._expression_level(expression)
-            )
+            u0, f = self._initial_state_for(expression)
             omegas = jnp.asarray(omega_values, dtype=jnp.float32)
             res, res0, it = jax.block_until_ready(solve(u0, f, omegas))
             if newly_compiled:

@@ -123,38 +123,45 @@ class Problem:
         axes = [np.arange(1, n) / n for _ in range(self.dimension)]
         return np.meshgrid(*axes, indexing="ij")
 
-    def rhs_arrays(self, dtype, level: Optional[int] = None) -> Tuple:
+    def rhs_arrays(self, dtype, level: Optional[int] = None, host: bool = False) -> Tuple:
         mesh = self.interior_coordinates(level if level is not None else self.max_level)
+        np_dtype = np.dtype(jnp.dtype(dtype))
         out = []
         for i, _ in enumerate(self.fields):
-            if self.rhs_functions is None:
-                fn = None
-            else:
-                fn = self.rhs_functions[i]
+            fn = None if self.rhs_functions is None else self.rhs_functions[i]
             if fn is None:
-                out.append(jnp.zeros(mesh[0].shape, dtype=dtype))
+                arr = np.zeros(mesh[0].shape, dtype=np_dtype)
             else:
-                out.append(jnp.asarray(fn(*mesh), dtype=dtype))
+                arr = np.asarray(fn(*mesh), dtype=np_dtype)
+            out.append(arr if host else jnp.asarray(arr))
         return tuple(out)
 
-    def initial_state(self, dtype, level: Optional[int] = None) -> Tuple[Tuple, Tuple]:
+    def initial_state(self, dtype, level: Optional[int] = None, host: bool = False):
         """(u0, f): zero initial guess, evaluated right-hand side.
 
         With a zero RHS the residual would be identically zero, so problems
         without an RHS function get a fixed pseudo-random f (seeded) —
-        equivalent for convergence-factor measurement.
+        equivalent for convergence-factor measurement.  `host=True` keeps
+        everything in numpy (needed when complex arrays must not be
+        materialized as device buffers).
         """
         grids = self.finest_grid if level is None else self.grid_at(level)
         shapes = [g.interior_shape for g in grids]
-        u0 = tuple(jnp.zeros(s, dtype=dtype) for s in shapes)
+        np_dtype = np.dtype(jnp.dtype(dtype))
+        u0 = tuple(np.zeros(s, dtype=np_dtype) for s in shapes)
         if self.rhs_functions is not None:
-            f = self.rhs_arrays(dtype, level=level)
+            f = self.rhs_arrays(dtype, level=level, host=True)
         else:
             rng = np.random.default_rng(42)
             f = tuple(
-                jnp.asarray(rng.standard_normal(s), dtype=dtype) for s in shapes
+                rng.standard_normal(s).astype(np_dtype) for s in shapes
             )
-        return u0, f
+        if host:
+            return u0, f
+        return (
+            tuple(jnp.asarray(x) for x in u0),
+            tuple(jnp.asarray(x) for x in f),
+        )
 
     # ---- reconfiguration ----
 
