@@ -136,6 +136,20 @@ class JaxProgramGenerator:
         self.run_time_total = 0.0
         self.compile_time_total = 0.0
         self._level_offset = 0
+        self._consecutive_device_failures = 0
+
+    def _device_failed(self):
+        """Account one device-level failure (kernel fault / transport error
+        on the development tunnel).  A lone faulting individual is poisoned
+        with infinity fitness and evolution continues; a *run* of failures
+        means the device session itself is dead — re-raise so the driver
+        aborts loudly instead of silently returning infinity for everyone."""
+        self._consecutive_device_failures += 1
+        if self._consecutive_device_failures >= 5:
+            raise RuntimeError(
+                f"{self._consecutive_device_failures} consecutive device "
+                "failures — the accelerator session appears unusable"
+            ) from None
 
     # ---- complex-as-real-pairs jit I/O helpers ----
 
@@ -514,6 +528,7 @@ class JaxProgramGenerator:
             )
             rates, _ = jax.block_until_ready(vm(e0, zf, jnp.asarray(mat)))
             rates = np.asarray(jnp.real(rates))[:n]
+            self._consecutive_device_failures = 0
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return [
                 self.generate_and_evaluate(
@@ -537,19 +552,24 @@ class JaxProgramGenerator:
                 results.append((infinity, rate, infinity))
                 continue
             if t_iter_ms is None:
-                omegas_i = jnp.asarray(omegas_rows[i], dtype=jnp.float32)
-                _, _, _, _, executed = jax.block_until_ready(
-                    stage_solve(u0, f, omegas_i)
-                )
-                executed = max(1, int(executed))
-                times = []
-                for _ in range(max(1, evaluation_samples)):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(stage_solve(u0, f, omegas_i))
-                    times.append(time.perf_counter() - t0)
-                times.sort()
-                t_iter_ms = 1e3 * times[len(times) // 2] / executed
-                self.run_time_total += sum(times)
+                try:
+                    omegas_i = jnp.asarray(omegas_rows[i], dtype=jnp.float32)
+                    _, _, _, _, executed = jax.block_until_ready(
+                        stage_solve(u0, f, omegas_i)
+                    )
+                    executed = max(1, int(executed))
+                    times = []
+                    for _ in range(max(1, evaluation_samples)):
+                        t0 = time.perf_counter()
+                        jax.block_until_ready(stage_solve(u0, f, omegas_i))
+                        times.append(time.perf_counter() - t0)
+                    times.sort()
+                    t_iter_ms = 1e3 * times[len(times) // 2] / executed
+                    self.run_time_total += sum(times)
+                except jax.errors.JaxRuntimeError:
+                    self._device_failed()
+                    results.append((infinity, rate, infinity))
+                    continue
             results.append((iterations * t_iter_ms, rate, iterations))
         return results
 
@@ -777,6 +797,7 @@ class JaxProgramGenerator:
                 zf = tuple(jnp.zeros_like(x) for x in f)
                 rate, _ = jax.block_until_ready(power_solve(e0, zf, omegas))
                 rate = float(jnp.real(rate))
+                self._consecutive_device_failures = 0
                 if newly_compiled:
                     self.compile_time_total += time.perf_counter() - t0
                 if not math.isfinite(rate) or rate <= 0.0:
@@ -824,6 +845,7 @@ class JaxProgramGenerator:
                 )
                 best_it = int(best_it)
                 stage_executed = int(stage_executed)
+                self._consecutive_device_failures = 0
                 executed += stage_executed
                 if stage_index == 0:
                     stage1_executed = max(1, stage_executed)
@@ -855,6 +877,9 @@ class JaxProgramGenerator:
                 )
             if newly_compiled:
                 self.compile_time_total += time.perf_counter() - t0
+        except jax.errors.JaxRuntimeError:
+            self._device_failed()
+            return infinity, infinity, infinity
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return infinity, infinity, infinity
 
@@ -878,10 +903,14 @@ class JaxProgramGenerator:
         # computation per iteration included — matching the reference's
         # generated solvers, which print the residual every iteration).
         times = []
-        for _ in range(max(1, evaluation_samples)):
-            t0 = time.perf_counter()
-            jax.block_until_ready(stage_solve(u0, f, omegas))
-            times.append(time.perf_counter() - t0)
+        try:
+            for _ in range(max(1, evaluation_samples)):
+                t0 = time.perf_counter()
+                jax.block_until_ready(stage_solve(u0, f, omegas))
+                times.append(time.perf_counter() - t0)
+        except jax.errors.JaxRuntimeError:
+            self._device_failed()
+            return infinity, rho, infinity
         times.sort()
         # Normalize by the executed iterations of the timed (first) stage —
         # t/iter is a property of one cycle application.
@@ -899,14 +928,20 @@ class JaxProgramGenerator:
             u0, f = self._initial_state_for(expression)
             omegas = jnp.asarray(omega_values, dtype=jnp.float32)
             res, res0, it = jax.block_until_ready(solve(u0, f, omegas))
+            # Host transfers can fault independently of the computation on
+            # the development tunnel — keep them inside the guard.
+            it = int(it)
+            res = float(jnp.real(res))
+            res0 = float(jnp.real(res0))
+            self._consecutive_device_failures = 0
             if newly_compiled:
                 self.compile_time_total += time.perf_counter() - t0
+        except jax.errors.JaxRuntimeError:
+            self._device_failed()
+            return infinity, infinity, infinity
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return infinity, infinity, infinity
 
-        it = int(it)
-        res = float(jnp.real(res))
-        res0 = float(jnp.real(res0))
         spec = self.problem.outer_solver
         if it == 0 or not math.isfinite(res) or res <= 0.0 or res0 <= 0.0:
             return infinity, infinity, infinity
@@ -915,10 +950,14 @@ class JaxProgramGenerator:
             return infinity, rho if math.isfinite(rho) else infinity, infinity
         rho = (res / res0) ** (1.0 / it)
         times = []
-        for _ in range(max(1, evaluation_samples)):
-            t0 = time.perf_counter()
-            jax.block_until_ready(solve(u0, f, omegas))
-            times.append(time.perf_counter() - t0)
+        try:
+            for _ in range(max(1, evaluation_samples)):
+                t0 = time.perf_counter()
+                jax.block_until_ready(solve(u0, f, omegas))
+                times.append(time.perf_counter() - t0)
+        except jax.errors.JaxRuntimeError:
+            self._device_failed()
+            return infinity, rho, infinity
         times.sort()
         time_to_convergence = 1e3 * times[len(times) // 2]
         self.run_time_total += sum(times)

@@ -448,6 +448,7 @@ class CycleLowering:
         system.Approximation leaf binds to `u`, the system.RightHandSide
         leaf binds to `f`, ZeroApproximations evaluate to zeros.
         """
+        multiref = self._multiref_ids(expression)
 
         def step(u: Tuple, f: Tuple) -> Tuple:
             memo = {}
@@ -456,7 +457,7 @@ class CycleLowering:
                 key = id(node)
                 if key in memo:
                     return memo[key]
-                value = self._eval(node, ev, u, f, None)
+                value = self._eval(node, ev, u, f, None, multiref)
                 memo[key] = value
                 return value
 
@@ -480,6 +481,7 @@ class CycleLowering:
         cycles = collect_cycles(expression)
         slots = {id(c): i for i, c in enumerate(cycles)}
         omega_values = [float(c.relaxation_factor) for c in cycles]
+        multiref = self._multiref_ids(expression)
 
         def step(u: Tuple, f: Tuple, omegas) -> Tuple:
             memo = {}
@@ -491,7 +493,7 @@ class CycleLowering:
                 key = id(node)
                 if key in memo:
                     return memo[key]
-                value = self._eval(node, ev, u, f, omega_lookup)
+                value = self._eval(node, ev, u, f, omega_lookup, multiref)
                 memo[key] = value
                 return value
 
@@ -499,13 +501,54 @@ class CycleLowering:
 
         return step, omega_values
 
+    @staticmethod
+    def _multiref_ids(expression) -> frozenset:
+        """ids of DAG nodes referenced by more than one parent.  Smoothing
+        chains are only scan-fused across single-consumer links: a shared
+        intermediate iterate must stay memoizable by the normal walk.
+
+        A smoothing cycle references its own iterate twice by construction
+        (node.approximation and the correction's Residual.approximation are
+        the same object) — that self-reference is discounted, otherwise no
+        chain link would ever qualify."""
+        counts = {}
+        cycles = []
+
+        def visit(e):
+            if e is None or not isinstance(e, base.Expression):
+                return
+            counts[id(e)] = counts.get(id(e), 0) + 1
+            if counts[id(e)] > 1:
+                return
+            if isinstance(e, base.Cycle):
+                cycles.append(e)
+                visit(e.approximation), visit(e.rhs), visit(e.correction)
+            elif isinstance(e, base.Residual):
+                visit(e.approximation), visit(e.rhs)
+            elif isinstance(e, base.BinaryExpression):
+                visit(e.operand1), visit(e.operand2)
+            elif isinstance(e, (base.UnaryExpression, base.Scaling)):
+                visit(e.operand)
+
+        visit(expression)
+        for c in cycles:
+            corr = c.correction
+            if (
+                isinstance(corr, base.Multiplication)
+                and isinstance(corr.operand1, base.Inverse)
+                and isinstance(corr.operand2, base.Residual)
+                and corr.operand2.approximation is c.approximation
+            ):
+                counts[id(c.approximation)] -= 1
+        return frozenset(k for k, v in counts.items() if v > 1)
+
     def _zeros_for(self, node) -> Tuple:
         grids = node.grid if isinstance(node.grid, list) else [node.grid]
         return tuple(
             jnp.zeros(g.interior_shape, dtype=self.dtype) for g in grids
         )
 
-    def _eval(self, node, ev, u, f, omega_lookup):
+    def _eval(self, node, ev, u, f, omega_lookup, multiref=frozenset()):
         if isinstance(node, (system.ZeroApproximation, base.ZeroApproximation)):
             return self._zeros_for(node)
         if isinstance(node, (system.RightHandSide, base.RightHandSide)):
@@ -513,6 +556,9 @@ class CycleLowering:
         if isinstance(node, (system.Approximation, base.Approximation)):
             return tuple(u)
         if isinstance(node, base.Cycle):
+            chain = self._smoothing_chain(node, multiref)
+            if chain is not None:
+                return self._eval_smoothing_chain(chain, ev, omega_lookup)
             return self._eval_cycle(node, ev, omega_lookup)
         if isinstance(node, base.Residual):
             rhs_val = ev(node.rhs)
@@ -548,54 +594,143 @@ class CycleLowering:
             return sops.tree_scale(node.factor, ev(node.operand))
         raise RuntimeError(f"Cannot evaluate IR node {type(node).__name__}")
 
-    def _eval_cycle(self, node: base.Cycle, ev, omega_lookup=None):
-        omega = (
-            node.relaxation_factor if omega_lookup is None else omega_lookup(node)
-        )
-        u0 = ev(node.approximation)
-        if _is_partitioning(node.partitioning, part.Single) or not isinstance(
-            node.correction, base.Multiplication
-        ):
-            corr = ev(node.correction)
-            return tuple(x + omega * c for x, c in zip(u0, corr))
-        if not _is_partitioning(node.partitioning, part.RedBlack):
-            raise RuntimeError(f"Unknown partitioning {node.partitioning!r}")
+    def _smoothing_parts(self, node: base.Cycle):
+        """(B, A, rhs_expr, kind) if the cycle is a plain smoothing step
+        u' = u + ω·P·B⁻¹(rhs − A·u) of its own iterate, else None.
 
-        corr_expr = node.correction
+        kind "single": full update — requires the residual to be formed
+        against the cycle's own approximation (otherwise the generic
+        correction path applies).  kind "rb": the red-black two-sweep
+        always recomputes the residual against the chained iterate, so
+        only the correction's shape matters.
+        """
+        corr = node.correction
         if not (
-            isinstance(corr_expr.operand1, base.Inverse)
-            and isinstance(corr_expr.operand2, base.Residual)
+            isinstance(corr, base.Multiplication)
+            and isinstance(corr.operand1, base.Inverse)
+            and isinstance(corr.operand2, base.Residual)
         ):
-            # Partitioning only applies to smoothing corrections; anything
-            # else falls back to a single full update (matches the LFA
-            # evaluator raising / codegen ignoring partitioning there).
-            corr = ev(corr_expr)
-            return tuple(x + omega * c for x, c in zip(u0, corr))
+            return None
+        residual = corr.operand2
+        if _is_partitioning(node.partitioning, part.RedBlack):
+            kind = "rb"
+        elif (
+            _is_partitioning(node.partitioning, part.Single)
+            and residual.approximation is node.approximation
+        ):
+            kind = "single"
+        else:
+            return None
+        return corr.operand1.operand, residual.operator, residual.rhs, kind
 
-        smoother_op = corr_expr.operand1.operand
-        residual = corr_expr.operand2
-        operator = residual.operator
-        f_val = ev(residual.rhs)
-
-        fused = self._try_fused_rb_sweep(node, smoother_op, operator, u0, f_val, omega)
+    def _apply_smoothing(self, u_cur, f_val, B, A, kind, omega):
+        """One smoothing update u' = u + ω·P·B⁻¹(f − A·u) (both colors for
+        red-black).  Shared by the unrolled cycle walk and the scan-fused
+        smoothing chains, so the two lowerings are the same math."""
+        if kind == "single":
+            r = sops.tree_sub(tuple(f_val), self.system_apply(A, u_cur))
+            corr = self.smoother_apply(B, r, u_cur)
+            return tuple(x + omega * c for x, c in zip(u_cur, corr))
+        fused = self._try_fused_rb_sweep(B, A, u_cur, f_val, omega)
         if fused is not None:
             return fused
-
         masks_per_field = [
-            sops.red_black_masks(x.shape, dtype=jnp.float32) for x in u0
+            sops.red_black_masks(x.shape, dtype=jnp.float32) for x in u_cur
         ]
-        u_cur = tuple(u0)
         for color in range(2):
-            a_u = self.system_apply(operator, u_cur)
-            r = sops.tree_sub(f_val, a_u)
-            corr = self.smoother_apply(smoother_op, r, u_cur)
+            a_u = self.system_apply(A, u_cur)
+            r = sops.tree_sub(tuple(f_val), a_u)
+            corr = self.smoother_apply(B, r, u_cur)
             u_cur = tuple(
                 x + omega * masks[color].astype(x.dtype) * c
                 for x, c, masks in zip(u_cur, corr, masks_per_field)
             )
         return u_cur
 
-    def _try_fused_rb_sweep(self, node, smoother_op, operator, u0, f_val, omega):
+    def _smoothing_signature(self, info):
+        B, A, _, kind = info
+        return (kind, canonical_string(B), canonical_string(A))
+
+    def _smoothing_chain(self, node: base.Cycle, multiref):
+        """Maximal run of ≥2 consecutive smoothing cycles that differ only
+        in ω: same smoother/operator structure, same rhs expression object,
+        linked iterate with no outside consumer.  Returned outermost-first;
+        None when the node is not the head of such a run."""
+        info = self._smoothing_parts(node)
+        if info is None:
+            return None
+        sig = self._smoothing_signature(info)
+        chain = [node]
+        cur = node
+        while True:
+            child = cur.approximation
+            if not isinstance(child, base.Cycle) or id(child) in multiref:
+                break
+            child_info = self._smoothing_parts(child)
+            if (
+                child_info is None
+                or child_info[2] is not info[2]
+                or self._smoothing_signature(child_info) != sig
+            ):
+                break
+            chain.append(child)
+            cur = child
+        return chain if len(chain) >= 2 else None
+
+    def _eval_smoothing_chain(self, chain, ev, omega_lookup):
+        """Lower a smoothing chain as one lax.scan over its ω slice.
+
+        The step body is traced (and staged to HLO) once instead of
+        len(chain) times — the dominant per-individual cost on this
+        pipeline is XLA compilation of the evolved structure, and evolved
+        trees repeat the same smoothing production many times per level
+        (reference trees too: V(ν₁,ν₂) cycles).
+        """
+        import jax
+
+        B, A, rhs_expr, kind = self._smoothing_parts(chain[0])
+        base_u = tuple(ev(chain[-1].approximation))
+        f_val = ev(rhs_expr)
+        ordered = list(reversed(chain))  # innermost applied first
+        # ω must not upcast the scan carry (a float64 ω on float32 fields
+        # would change the carry dtype between iterations): keep it at the
+        # field dtype's real precision.
+        real_dt = np.zeros((), dtype=np.dtype(jnp.dtype(self.dtype))).real.dtype
+        if omega_lookup is None:
+            omegas = jnp.asarray(
+                np.asarray([c.relaxation_factor for c in ordered], dtype=real_dt)
+            )
+        else:
+            omegas = jnp.stack([omega_lookup(c) for c in ordered]).astype(real_dt)
+
+        def body(u, w):
+            return self._apply_smoothing(u, f_val, B, A, kind, w), None
+
+        u_final, _ = jax.lax.scan(body, base_u, omegas)
+        return u_final
+
+    def _eval_cycle(self, node: base.Cycle, ev, omega_lookup=None):
+        omega = (
+            node.relaxation_factor if omega_lookup is None else omega_lookup(node)
+        )
+        u0 = ev(node.approximation)
+        if not _is_partitioning(node.partitioning, part.Single) and not _is_partitioning(
+            node.partitioning, part.RedBlack
+        ):
+            raise RuntimeError(f"Unknown partitioning {node.partitioning!r}")
+        info = self._smoothing_parts(node)
+        if info is None:
+            # Generic correction (coarse-grid, Krylov, non-chained residual)
+            # — single full update; partitioning only applies to smoothing
+            # corrections (matches the LFA evaluator raising / codegen
+            # ignoring partitioning there).
+            corr = ev(node.correction)
+            return tuple(x + omega * c for x, c in zip(u0, corr))
+        B, A, rhs_expr, kind = info
+        f_val = ev(rhs_expr)
+        return self._apply_smoothing(tuple(u0), f_val, B, A, kind, omega)
+
+    def _try_fused_rb_sweep(self, smoother_op, operator, u0, f_val, omega):
         """Lower the red-black collective-Jacobi step to the fused Pallas
         kernel when applicable (scalar 2D constant-coefficient f32 that
         fits VMEM); returns None to fall back to the masked-jnp path."""

@@ -220,3 +220,67 @@ class TestBlockSmoother:
         # verify B corr == r where B is the block-diagonal operator
         back = sops.apply_periodic_stencil(corr, bd)
         np.testing.assert_allclose(np.asarray(back), np.asarray(r[0]), rtol=1e-10)
+
+
+class TestSmoothingChainFusion:
+    """Consecutive same-structure smoothing steps lower to one lax.scan
+    over their ω slice; the fused program must match the unrolled walk
+    exactly (values and gradients), for both partitionings."""
+
+    @pytest.mark.parametrize("partitioning", [part.RedBlack, part.Single])
+    def test_fused_matches_unrolled(self, partitioning):
+        import jax
+
+        problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        _, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=2,
+        )
+        cycle = reference_cycles.generate_v_cycle(
+            tl, problem.rhs(), pre_smoothing=3, post_smoothing=2, omega=0.9,
+            partitioning=partitioning,
+        )
+        u0, f = problem.initial_state(jnp.float64)
+
+        fused = CycleLowering(jnp.float64)
+        plain = CycleLowering(jnp.float64)
+        plain._smoothing_chain = lambda node, multiref: None
+
+        chains = []
+        orig = CycleLowering._smoothing_chain
+
+        def counting(self, node, multiref):
+            c = orig(self, node, multiref)
+            if c is not None:
+                chains.append(len(c))
+            return c
+
+        fused._smoothing_chain = counting.__get__(fused)
+
+        got = jax.jit(fused.lower(cycle))(u0, f)
+        exp = jax.jit(plain.lower(cycle))(u0, f)
+        assert chains, "no smoothing chains were detected in a V(3,2) cycle"
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(exp[0]), rtol=1e-13, atol=1e-14
+        )
+
+        step_f, ov = fused.lower_parameterized(cycle)
+        step_p, ov2 = plain.lower_parameterized(cycle)
+        assert ov == ov2
+        rng = np.random.default_rng(0)
+        om = jnp.asarray(0.5 + rng.random(len(ov)), dtype=jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(step_f(u0, f, om)[0]),
+            np.asarray(step_p(u0, f, om)[0]),
+            rtol=1e-13, atol=1e-14,
+        )
+
+        def loss(stepper):
+            return lambda o: sum(jnp.sum(x**2) for x in stepper(u0, f, o))
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss(step_f))(om)),
+            np.asarray(jax.grad(loss(step_p))(om)),
+            rtol=1e-10,
+        )

@@ -163,3 +163,52 @@ class TestBatchedGroupEvaluation:
             else:
                 assert rg == pytest.approx(rs, rel=1e-5)
                 assert ig == is_
+
+
+class TestDeviceFaultTolerance:
+    """A device-level fault (kernel fault / transport error on the tunnel)
+    must poison the individual's fitness, not kill the evolution run; a run
+    of consecutive faults must abort loudly (dead accelerator session)."""
+
+    def _failing_generator(self, setup):
+        import jax
+
+        problem, t0 = setup
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+
+        def build(expression):
+            def boom(*args, **kwargs):
+                raise jax.errors.JaxRuntimeError("UNAVAILABLE: TPU device error")
+
+            return (boom, boom, problem.finest_operator()), [0.8], False
+
+        gen._build_solver = build
+        return gen
+
+    def test_single_fault_poisons_individual(self, setup):
+        _, t0 = setup
+        gen = self._failing_generator(setup)
+        f = gen.problem.rhs()
+        cycle = jacobi_cycle(t0, f, 0.8)
+        t, rho, iters = gen.generate_and_evaluate(cycle, infinity=1e100)
+        assert t == 1e100 and iters == 1e100
+        assert gen._consecutive_device_failures == 1
+
+    def test_consecutive_faults_abort(self, setup):
+        _, t0 = setup
+        gen = self._failing_generator(setup)
+        f = gen.problem.rhs()
+        cycle = jacobi_cycle(t0, f, 0.8)
+        for _ in range(4):
+            gen.generate_and_evaluate(cycle, infinity=1e100)
+        with pytest.raises(RuntimeError, match="consecutive device"):
+            gen.generate_and_evaluate(cycle, infinity=1e100)
+
+    def test_success_resets_counter(self, setup):
+        problem, t0 = setup
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        gen._consecutive_device_failures = 3
+        f = gen.problem.rhs()
+        cycle = jacobi_cycle(t0, f, 0.8, steps=2)
+        t, rho, iters = gen.generate_and_evaluate(cycle, infinity=1e100)
+        assert gen._consecutive_device_failures == 0
