@@ -130,6 +130,7 @@ class JaxProgramGenerator:
             jax.default_backend() != "cpu"
         )
         self._solver_cache = {}
+        self._vms = {}
         self._power_fns = {}
         self._vmapped_cache = {}
         self._timer_cache = {}
@@ -258,6 +259,7 @@ class JaxProgramGenerator:
         self._level_offset = level_offset
         self.problem = self.problem.with_levels(min_level, max_level)
         self._solver_cache.clear()
+        self._vms.clear()
         self._power_fns.clear()
         self._vmapped_cache.clear()
         self._timer_cache.clear()
@@ -273,12 +275,39 @@ class JaxProgramGenerator:
         grids = expression.grid if isinstance(expression.grid, list) else [expression.grid]
         return grids[0].level
 
+    def _as_omega_arg(self, omega_values):
+        """Device-ready omega argument: a VM program triple passes through
+        verbatim, a relaxation-factor list becomes the traced f32 vector."""
+        if isinstance(omega_values, tuple):
+            return omega_values
+        return jnp.asarray(omega_values, dtype=jnp.float32)
+
+    def _finest_operator_for(self, expression):
+        # The run's finest level is the expression's own grid level (it may
+        # sit below problem.max_level during multi-run level splitting).
+        from evostencils_tpu.grammar import multigrid as mg
+
+        level = self._expression_level(expression)
+        grids = expression.grid if isinstance(expression.grid, list) else [expression.grid]
+        return mg.generate_system_operator(
+            self.problem.equations, self.problem.operators, self.problem.fields,
+            level, 0, grids,
+        )
+
     def _build_solver(self, expression):
         """Structural compile cache: the key abstracts over relaxation
         factors (they enter as a traced vector argument), so mutations
         that only retune ω reuse the same XLA executable — the
         structural-interpreter strategy replacing the reference's
-        per-individual java+make pipeline (SURVEY.md §7.4)."""
+        per-individual java+make pipeline (SURVEY.md §7.4).
+
+        When the expression is expressible in the cycle VM's ISA (the
+        linear multigrid grammar — backend/vm.py), the structure itself
+        becomes a traced argument and ALL such individuals share one
+        interpreter executable: zero per-structure compiles."""
+        vm, program = self._vm_program(expression)
+        if program is not None:
+            return self._build_vm_solver(vm, program, expression)
         key = canonical_string(expression, parameterize_relaxation=True)
         omega_values = [
             float(c.relaxation_factor) for c in collect_cycles(expression)
@@ -286,16 +315,34 @@ class JaxProgramGenerator:
         if key in self._solver_cache:
             return self._solver_cache[key], omega_values, False
         step, _ = self.lowering.lower_parameterized(expression)
-        # The run's finest level is the expression's own grid level (it may
-        # sit below problem.max_level during multi-run level splitting).
-        from evostencils_tpu.grammar import multigrid as mg
+        operator = self._finest_operator_for(expression)
+        stage_raw, power_raw = self._stage_power_fns(step, operator)
 
-        level = self._expression_level(expression)
-        grids = expression.grid if isinstance(expression.grid, list) else [expression.grid]
-        operator = mg.generate_system_operator(
-            self.problem.equations, self.problem.operators, self.problem.fields,
-            level, 0, grids,
-        )
+        stage = jax.jit(self._wrap_stage_io(stage_raw))
+        power = jax.jit(self._wrap_complex_io(power_raw))
+
+        # Eager-compile only what fitness needs first: for f32 linear
+        # cycles that is the power iteration (it decides poisoning); the
+        # residual stage is then compiled lazily, and only for survivors
+        # that reach the timing phase.  Nonlinear/f64 paths need the stage
+        # eagerly.
+        is_f64 = _dtype_is_64bit(self.dtype)
+        power_compiled = None
+        if not getattr(self.problem, "uses_fas", False) and not is_f64:
+            power_compiled = self._aot_compile_power(power, expression, len(omega_values))
+            stage_handle = stage  # lazy: jax.jit compiles on first call
+            self._power_fns[key] = power
+        else:
+            stage_handle = self._aot_compile(stage, expression, len(omega_values))
+        self._solver_cache[key] = (stage_handle, power_compiled, operator)
+        return (stage_handle, power_compiled, operator), omega_values, True
+
+    def _stage_power_fns(self, step, operator):
+        """The two measurement programs around a cycle step function
+        step(u, f, omega_arg): the residual-driven staged solve and the
+        error-propagation power iteration.  `omega_arg` is opaque — the
+        ω vector for lowered structures, the (opcodes, ω, length) program
+        triple for the cycle VM."""
         lowering = self.lowering
 
         cap = self.iteration_limit
@@ -402,24 +449,51 @@ class JaxProgramGenerator:
             )
             return rate, k * block_len
 
+        return stage_raw, power_raw
+
+    # ---- cycle-VM fast path (backend/vm.py) ----
+
+    def _vm_for(self, level: int):
+        vm = self._vms.get(level)
+        if vm is None:
+            from evostencils_tpu.backend.vm import CycleVM
+
+            vm = CycleVM(self.lowering, self.problem, level)
+            self._vms[level] = vm
+        return vm
+
+    def _vm_program(self, expression):
+        """(vm, Program) when the expression is expressible in the VM ISA,
+        else (None, None) — the per-structure lowering path applies."""
+        if getattr(self.problem, "uses_fas", False):
+            return None, None
+        level = self._expression_level(expression)
+        if level - self.problem.min_level + 1 < 2:
+            return None, None
+        vm = self._vm_for(level)
+        program = vm.translate(expression)
+        if program is None:
+            return None, None
+        return vm, program
+
+    def _build_vm_solver(self, vm, program, expression):
+        """One interpreter executable per (level, ISA version) — every
+        translatable structure shares it; the program rides the omega
+        argument slot as a (opcodes, omegas, length) triple."""
+        omega_arg = program.as_arguments()
+        level = self._expression_level(expression)
+        key = ("__vm__", level, vm.isa_version)
+        if key in self._solver_cache:
+            return self._solver_cache[key], omega_arg, False
+        step = vm.make_step()
+        operator = self._finest_operator_for(expression)
+        stage_raw, power_raw = self._stage_power_fns(step, operator)
         stage = jax.jit(self._wrap_stage_io(stage_raw))
         power = jax.jit(self._wrap_complex_io(power_raw))
-
-        # Eager-compile only what fitness needs first: for f32 linear
-        # cycles that is the power iteration (it decides poisoning); the
-        # residual stage is then compiled lazily, and only for survivors
-        # that reach the timing phase.  Nonlinear/f64 paths need the stage
-        # eagerly.
         is_f64 = _dtype_is_64bit(self.dtype)
-        power_compiled = None
-        if not getattr(self.problem, "uses_fas", False) and not is_f64:
-            power_compiled = self._aot_compile_power(power, expression, len(omega_values))
-            stage_handle = stage  # lazy: jax.jit compiles on first call
-            self._power_fns[key] = power
-        else:
-            stage_handle = self._aot_compile(stage, expression, len(omega_values))
-        self._solver_cache[key] = (stage_handle, power_compiled, operator)
-        return (stage_handle, power_compiled, operator), omega_values, True
+        power_handle = None if is_f64 else power
+        self._solver_cache[key] = (stage, power_handle, operator)
+        return (stage, power_handle, operator), omega_arg, True
 
     def _vmapped_power(self, key, expression, bucket: int, n_omegas: int):
         """vmap the power iteration over a batch of relaxation-factor
@@ -471,6 +545,7 @@ class JaxProgramGenerator:
             if changed:
                 self.problem = self.problem.with_parameters(global_variable_values)
                 self._solver_cache.clear()
+                self._vms.clear()
                 self._power_fns.clear()
                 self._vmapped_cache.clear()
         if getattr(self.problem, "outer_solver", None) or getattr(
@@ -768,6 +843,7 @@ class JaxProgramGenerator:
             if changed:
                 self.problem = self.problem.with_parameters(global_variable_values)
                 self._solver_cache.clear()
+                self._vms.clear()
         if getattr(self.problem, "outer_solver", None):
             return self._generate_and_evaluate_outer(
                 expression, infinity, evaluation_samples
@@ -780,7 +856,7 @@ class JaxProgramGenerator:
             u0, f = self.problem.initial_state(
                 self.dtype, level=self._expression_level(expression)
             )
-            omegas = jnp.asarray(omega_values, dtype=jnp.float32)
+            omegas = self._as_omega_arg(omega_values)
 
             is_f64 = _dtype_is_64bit(self.dtype)
             if power_solve is not None and not is_f64:

@@ -96,11 +96,44 @@ class TestCaching:
         assert built is False  # same structure, different omegas -> hit
         assert len(gen._solver_cache) == n_cached
 
-    def test_different_structure_misses(self, setup):
+    def test_different_structures_share_vm_interpreter(self, setup):
+        """Structures inside the cycle-VM ISA share ONE interpreter
+        executable — a different structure is a different *program*
+        (data), not a new compile."""
         problem, t0 = setup
         gen = JaxProgramGenerator(problem, dtype=jnp.float64)
         c1 = jacobi_cycle(t0, problem.rhs(), omega=0.7, steps=1)
         c2 = jacobi_cycle(t0, problem.rhs(), omega=0.7, steps=2)
+        gen.generate_and_evaluate(c1, evaluation_samples=1)
+        _, prog2, built = gen._build_solver(c2)
+        assert built is False
+        _, prog1, _ = gen._build_solver(c1)
+        assert int(prog1[2]) != int(prog2[2])  # different program lengths
+
+    def test_untranslatable_structure_misses(self, setup):
+        """Outside the VM ISA the per-structure lowering compile-cache
+        applies: a new structure is a new build."""
+        problem, t0 = setup
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+
+        def scaled_jacobi(omega, steps):
+            u, A, f = t0.approximation, t0.operator, problem.rhs()
+            for _ in range(steps):
+                res = base.Residual(A, u, f)
+                corr = base.Scaling(
+                    1.0,
+                    base.Multiplication(
+                        base.Inverse(smoother.generate_collective_jacobi(A)), res
+                    ),
+                )
+                u = base.Cycle(
+                    u, f, corr, partitioning=part.Single, relaxation_factor=omega
+                )
+            return u
+
+        c1 = scaled_jacobi(0.7, 1)
+        c2 = scaled_jacobi(0.7, 2)
+        assert gen._vm_program(c1) == (None, None)
         gen.generate_and_evaluate(c1, evaluation_samples=1)
         _, _, built = gen._build_solver(c2)
         assert built is True
