@@ -620,11 +620,16 @@ class JaxProgramGenerator:
                 results.append((infinity, infinity, infinity))
                 continue
             if rate >= 1.0:
-                results.append((infinity, rate, infinity))
+                # Non-contractive: a real run would execute the full
+                # iteration cap — report it as the measured count so the
+                # EA's √(ρ·iters) fallback stays finite and informative
+                # (reference parse_output measures the executed count,
+                # exastencils.py:539-584).
+                results.append((infinity, rate, self.iteration_limit))
                 continue
             iterations = int(math.ceil(math.log(self.epsilon) / math.log(rate)))
             if iterations > self.iteration_limit:
-                results.append((infinity, rate, infinity))
+                results.append((infinity, rate, iterations))
                 continue
             if t_iter_ms is None:
                 try:
@@ -643,7 +648,7 @@ class JaxProgramGenerator:
                     self.run_time_total += sum(times)
                 except jax.errors.JaxRuntimeError:
                     self._device_failed()
-                    results.append((infinity, rate, infinity))
+                    results.append((infinity, rate, iterations))
                     continue
             results.append((iterations * t_iter_ms, rate, iterations))
         return results
@@ -880,10 +885,13 @@ class JaxProgramGenerator:
                     return infinity, infinity, infinity
                 rho = rate
                 if rho >= 1.0:
-                    return infinity, rho, infinity
+                    # Measured-count semantics for failures: a real solve
+                    # would stop at the iteration cap (reference
+                    # exastencils.py:539-584 reports the executed count).
+                    return infinity, rho, self.iteration_limit
                 iterations = int(math.ceil(math.log(self.epsilon) / math.log(rho)))
                 if iterations > self.iteration_limit:
-                    return infinity, rho, infinity
+                    return infinity, rho, iterations
                 # Timing via the real residual-driven solve (the stage is
                 # compiled lazily — only survivors pay for it).
                 _, _, _, _, stage_executed = jax.block_until_ready(
@@ -963,17 +971,21 @@ class JaxProgramGenerator:
         if it == 0 or not math.isfinite(log_reduction):
             return infinity, infinity, infinity
         rho = math.exp(log_reduction / it)
-        if not math.isfinite(rho) or rho >= 1.0:
-            return infinity, rho if math.isfinite(rho) else infinity, infinity
+        if not math.isfinite(rho):
+            return infinity, infinity, infinity
+        if rho >= 1.0:
+            return infinity, rho, self.iteration_limit
 
         # Iterations to the reference 1e-12 target from the measured ρ
         # (exact when the run reached the target: ρ = red^(1/n) inverts to
         # exactly n; extrapolated when f32 stalls short of it).
         iterations = int(math.ceil(math.log(self.epsilon) / math.log(rho)))
         if iterations > self.iteration_limit:
-            # Iteration-cap breach → infinity poisoning, exactly as the
-            # reference's parse_output (exastencils.py:582-583).
-            return infinity, rho, infinity
+            # Iteration-cap breach → time poisoned to ∞, but ρ and the
+            # extrapolated count stay measured so the EA's √(ρ·iters)
+            # fallback orders failures by work, not ρ alone (reference
+            # exastencils.py:582-583 + program.py:413-415).
+            return infinity, rho, iterations
 
         # Timing: median over samples of the full solve loop (residual
         # computation per iteration included — matching the reference's
@@ -986,7 +998,7 @@ class JaxProgramGenerator:
                 times.append(time.perf_counter() - t0)
         except jax.errors.JaxRuntimeError:
             self._device_failed()
-            return infinity, rho, infinity
+            return infinity, rho, iterations
         times.sort()
         # Normalize by the executed iterations of the timed (first) stage —
         # t/iter is a property of one cycle application.
@@ -1023,7 +1035,10 @@ class JaxProgramGenerator:
             return infinity, infinity, infinity
         if it >= spec["max_iterations"] or res > spec["target_reduction"] * res0 * 10:
             rho = (res / res0) ** (1.0 / it) if res > 0 else infinity
-            return infinity, rho if math.isfinite(rho) else infinity, infinity
+            if not math.isfinite(rho):
+                return infinity, infinity, infinity
+            # `it` is the genuinely measured outer-iteration count.
+            return infinity, rho, it
         rho = (res / res0) ** (1.0 / it)
         times = []
         try:
@@ -1033,7 +1048,7 @@ class JaxProgramGenerator:
                 times.append(time.perf_counter() - t0)
         except jax.errors.JaxRuntimeError:
             self._device_failed()
-            return infinity, rho, infinity
+            return infinity, rho, it
         times.sort()
         time_to_convergence = 1e3 * times[len(times) // 2]
         self.run_time_total += sum(times)
@@ -1044,6 +1059,6 @@ class JaxProgramGenerator:
         t, rho, iters = self.generate_and_evaluate(
             expression, infinity=infinity, evaluation_samples=evaluation_samples
         )
-        if iters >= infinity or not math.isfinite(t):
+        if not math.isfinite(t) or t >= infinity:
             return rho, infinity
         return rho, t / iters

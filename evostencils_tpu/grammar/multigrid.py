@@ -15,6 +15,19 @@ solvers must reproduce reference convergence factors:
     correct_with_coarse_grid_solver discharges the guard, so every complete
     tree contains a coarsest-grid solve;
   * relaxation factors come from np.linspace(0.1, 1.9, 37) by index.
+
+Derivation attribution: the production *semantics* implemented by the
+state-transition functions in ``add_level`` (the residual/update/
+initiate-cycle/coarse-grid-correction state machine, including the FAS
+τ-correction construction) are derived from EvoStencils
+(https://github.com/jonas-schmitt/evostencils, © Jonas Schmitt,
+AGPL-3.0; evostencils/grammar/multigrid.py:238-385).  A multigrid cycle
+grammar admits few distinct spellings of these transitions, so this
+module — unlike the rest of this repository, which is an independent
+TPU-native design — should be treated as a derivative work of that
+grammar and is provided under the terms of the AGPL-3.0 (see NOTICE at
+the repository root).  The surrounding machinery (TypeUniverse,
+PrimitiveSet registration, typed-GP engine) is original.
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 
 The reference's sympy-based local-system extraction existed to emit
 ExaSlang `solve locally` text; the TPU backend instead assembles local
-system matrices numerically (ops/local_solve.py), so the passes kept here
+system matrices numerically (ops/smoothers.build_block_solve_spec), so the passes kept here
 are the structural ones: iterate lookup, coarsest-level computation,
 cache invalidation, and a canonical string used as XLA compile-cache key.
 """

@@ -365,10 +365,16 @@ class Optimizer:
         self._total_number_of_evaluations += 1
         self._total_evaluation_time += time.time() - start
         fitness = (t,)
-        if iterations >= self.infinity:
-            # √(ρ·iters) fallback for non-converged individuals
-            # (reference program.py:414-415).
-            fitness = (rho**0.5 * iterations**0.5,)
+        if not math.isfinite(t) or t >= self.infinity:
+            # √(ρ·iters) fallback for non-converged individuals using the
+            # *measured* convergence factor and iteration count (reference
+            # program.py:414-415 with parse_output's executed count) — so
+            # failures are ordered by both contraction and work, and stay
+            # comparable to converged individuals' time fitness.
+            fitness = (
+                min(rho, self.infinity) ** 0.5
+                * min(iterations, self.infinity) ** 0.5,
+            )
         self.add_individual_to_cache(individual, fitness)
         return fitness
 
@@ -394,7 +400,7 @@ class Optimizer:
         )
         self._total_number_of_evaluations += 1
         self._total_evaluation_time += time.time() - start
-        if iterations >= self.infinity or not math.isfinite(t):
+        if not math.isfinite(t) or t >= self.infinity:
             fitness = (rho, self.infinity)
         else:
             fitness = (rho, t / iterations)
@@ -405,11 +411,14 @@ class Optimizer:
         """Fitness rules shared by single and batched measured evaluation
         (reference program.py:413-415, 449-451)."""
         if self._n_objectives == 2:
-            if iterations >= self.infinity or not math.isfinite(t):
+            if not math.isfinite(t) or t >= self.infinity:
                 return (rho, self.infinity)
             return (rho, t / iterations)
-        if iterations >= self.infinity:
-            return (min(rho, self.infinity) ** 0.5 * self.infinity**0.5,)
+        if not math.isfinite(t) or t >= self.infinity:
+            return (
+                min(rho, self.infinity) ** 0.5
+                * min(iterations, self.infinity) ** 0.5,
+            )
         return (t,)
 
     def _evaluate_population(self, individuals, evaluate: Callable,
@@ -679,7 +688,7 @@ class Optimizer:
             max_level,
             gen,
             solver_program,
-            None,
+            getattr(self, "_coarse_solver_string", None),
             [str(ind) for ind in population],
             [ind.fitness_values for ind in population],
             logbooks,
@@ -830,6 +839,12 @@ class Optimizer:
         best_individual = None
         solver_expression = None
         solver_program = ""
+        if checkpoint is not None and getattr(checkpoint, "program", None):
+            # Restore the accumulated multi-run program so resumed runs
+            # re-stitch the already-evolved coarser cycles instead of
+            # restarting from an empty program (reference
+            # program.py:794-820).
+            solver_program = checkpoint.program
         fas = self._program_generator.uses_FAS()
         coarse_solver_expression = None
 
@@ -843,12 +858,6 @@ class Optimizer:
         for i in reversed(range(0, levels, levels_per_run)):
             min_level = self.max_level - (i + levels_per_run)
             max_level = self.max_level - i
-            pass_checkpoint = False
-            if checkpoint is not None:
-                if min_level == checkpoint.min_level and max_level == checkpoint.max_level:
-                    pass_checkpoint = True
-                elif min_level < checkpoint.min_level:
-                    continue
             approximation = approximations[i]
             rhs = right_hand_sides[i]
             if model_based_estimation and self.convergence_evaluator is not None:
@@ -862,6 +871,28 @@ class Optimizer:
                 coarse_grid_solver_expression=coarse_solver_expression,
                 FAS=fas,
             )
+
+            pass_checkpoint = False
+            if checkpoint is not None:
+                if min_level == checkpoint.min_level and max_level == checkpoint.max_level:
+                    pass_checkpoint = True
+                elif min_level < checkpoint.min_level:
+                    # A coarser run that already completed before the
+                    # checkpoint: re-parse its best individual from the
+                    # accumulated program so it becomes this resume's
+                    # coarse-grid solver, instead of re-evolving it
+                    # (reference program.py:794-820).
+                    restored = self._restore_completed_run(
+                        solver_program, min_level, max_level, approximation, rhs
+                    )
+                    if restored is not None:
+                        best_individual, solver_expression = restored
+                        coarse_solver_expression = NestedCycleSolver(
+                            solver_expression
+                        )
+                        continue
+                    # No stored entry (pre-parity checkpoint): fall through
+                    # and re-evolve this run.
             pset, _ = mg_grammar.generate_primitive_set(
                 approximation,
                 rhs,
@@ -876,6 +907,11 @@ class Optimizer:
             self._pset = pset
             self._program_generator.initialize_code_generation(min_level, max_level)
             self.clear_individual_cache()
+            # The previous run's best tree string, persisted in checkpoints
+            # (reference CheckPoint.solver, program.py:47-64).
+            self._coarse_solver_string = (
+                str(best_individual) if best_individual is not None else None
+            )
             method = optimization_method or self.NSGAII
 
             pop, log, hof, eval_min_level, eval_max_level = method(
@@ -921,6 +957,35 @@ class Optimizer:
             coarse_solver_expression = NestedCycleSolver(solver_expression)
 
         return str(best_individual), solver_program, pops, logbooks, hofs
+
+    def _restore_completed_run(self, solver_program, min_level, max_level,
+                               approximation, rhs):
+        """Re-parse a completed run's best individual from the accumulated
+        program string (entries appended as ``# level range [a, b]`` +
+        tree string by evolutionary_optimization).  Returns (tree,
+        expression) or None when no entry for this level range exists."""
+        marker = f"# level range [{min_level}, {max_level}]"
+        lines = solver_program.splitlines()
+        for idx, line in enumerate(lines):
+            if line.strip() == marker and idx + 1 < len(lines):
+                tree_string = lines[idx + 1].strip()
+                if not tree_string:
+                    return None
+                pset, _ = mg_grammar.generate_primitive_set(
+                    approximation,
+                    rhs,
+                    self.dimension,
+                    self.coarsening_factors,
+                    max_level,
+                    self.equations,
+                    self.operators,
+                    self.fields,
+                    **self._grammar_config,
+                )
+                tree = gp.parse_tree(tree_string, pset)
+                expression, _ = gp.compile_tree(tree, pset)
+                return tree, expression
+        return None
 
     # ---- re-evaluation of stored individuals (reference program.py:904-933) ----
 

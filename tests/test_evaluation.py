@@ -41,16 +41,23 @@ class TestPoisoning:
         cycle = jacobi_cycle(t0, problem.rhs(), omega=1.9)
         gen = JaxProgramGenerator(problem, dtype=jnp.float64)
         t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
-        assert t >= 1e50 and iters >= 1e50
+        # Time is poisoned, but ρ and the iteration count stay measured
+        # (the cap a real run would execute) so the EA's √(ρ·iters)
+        # fallback orders failures by work, not ρ alone.
+        assert t >= 1e50
+        assert rho > 0.9
+        assert gen.iteration_limit <= iters < 1e50
 
     def test_slow_but_convergent_reports_rho(self, setup):
         problem, t0 = setup
         cycle = jacobi_cycle(t0, problem.rhs(), omega=0.8)
         gen = JaxProgramGenerator(problem, dtype=jnp.float64, iteration_limit=60)
         t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
-        # Cap breach -> infinite time, but rho is still measured and < 1.
-        assert t >= 1e50 and iters >= 1e50
+        # Cap breach -> infinite time, but rho is still measured and < 1,
+        # and the extrapolated iteration count is finite and beyond the cap.
+        assert t >= 1e50
         assert 0.9 < rho < 1.0
+        assert 60 < iters < 1e50
 
     def test_iteration_cap_matches_reference(self, setup):
         problem, t0 = setup
@@ -58,7 +65,8 @@ class TestPoisoning:
         # cap=2: even rho~0.005 needs ~5 iterations to 1e-12 -> poisoned
         gen = JaxProgramGenerator(problem, dtype=jnp.float64, iteration_limit=2)
         t, rho, iters = gen.generate_and_evaluate(cycle, evaluation_samples=1)
-        assert iters >= 1e50
+        assert t >= 1e50
+        assert 2 < iters < 1e50
 
 
 class TestStagedF32:

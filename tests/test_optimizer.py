@@ -40,6 +40,41 @@ class TestMultiRun:
         assert hofs[-1][0].fitness_values[0] < 1e50
 
 
+class TestCheckpointResume:
+    def test_resume_across_levels_per_run_boundary(self, tmp_path):
+        """Resuming from a checkpoint taken during the finest run must
+        restore the coarser run's evolved cycle from the accumulated
+        program (reference program.py:794-820) instead of re-evolving it."""
+        problem = poisson_2d(min_level=3, max_level=7, dtype=jnp.float64)
+        opt = make_optimizer(problem, seed=11, ckpt=str(tmp_path))
+        best, program, pops, logs, hofs = opt.evolutionary_optimization(
+            mu_=4, lambda_=4, population_initialization_factor=2, generations=2,
+            generalization_interval=100, optimization_method=opt.SOGP,
+            evaluation_samples=1, maximum_local_system_size=4,
+            levels_per_run=2, checkpoint_frequency=1, verbose=False,
+        )
+        assert len(hofs) == 2
+        coarse_entry = program.split("# level range [5, 7]")[0]
+        assert coarse_entry.startswith("# level range [3, 5]")
+
+        problem2 = poisson_2d(min_level=3, max_level=7, dtype=jnp.float64)
+        opt2 = make_optimizer(problem2, seed=77, ckpt=str(tmp_path))
+        best2, program2, pops2, logs2, hofs2 = opt2.evolutionary_optimization(
+            mu_=4, lambda_=4, population_initialization_factor=2, generations=2,
+            generalization_interval=100, optimization_method=opt2.SOGP,
+            evaluation_samples=1, maximum_local_system_size=4,
+            levels_per_run=2, checkpoint_frequency=1,
+            continue_from_checkpoint=True, verbose=False,
+        )
+        # Only the finest run re-ran (the coarser one was restored, and a
+        # different RNG seed would have produced a different tree had it
+        # been re-evolved).
+        assert len(hofs2) == 1
+        assert program2.startswith(coarse_entry)
+        assert "# level range [5, 7]" in program2
+        assert hofs2[-1][0].fitness_values[0] < 1e50
+
+
 class TestGeneralizationRamp:
     def test_problem_size_ramp_reevaluates(self, tmp_path):
         problem = poisson_2d(min_level=3, max_level=4, dtype=jnp.float64)
