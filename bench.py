@@ -99,6 +99,10 @@ def main():
                     "best_rho": round(best_rho, 5),
                     "elapsed_s": round(elapsed, 2),
                     "platform": jax.devices()[0].platform,
+                    # Fraction of solver builds that took the compile-free
+                    # cycle-VM path (robustness: VM-path individuals don't
+                    # pay the ~4-5 s/structure tunnel compile).
+                    "vm_stats": generator.vm_stats(),
                 },
             }
         )

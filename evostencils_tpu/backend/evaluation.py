@@ -138,6 +138,23 @@ class JaxProgramGenerator:
         self.compile_time_total = 0.0
         self._level_offset = 0
         self._consecutive_device_failures = 0
+        # Cycle-VM observability: how many solver builds took the
+        # compile-free interpreter path vs per-structure lowering, and why
+        # the VM was skipped (translation miss vs program-pad overflow).
+        self.vm_hits = 0
+        self.vm_misses = 0
+        self.vm_pad_overflows = 0
+        self.vm_isa_recompiles = 0
+
+    def vm_stats(self) -> dict:
+        total = self.vm_hits + self.vm_misses
+        return {
+            "vm_hits": self.vm_hits,
+            "vm_misses": self.vm_misses,
+            "vm_pad_overflows": self.vm_pad_overflows,
+            "vm_isa_recompiles": self.vm_isa_recompiles,
+            "vm_hit_rate": (self.vm_hits / total) if total else None,
+        }
 
     def _device_failed(self):
         """Account one device-level failure (kernel fault / transport error
@@ -307,7 +324,11 @@ class JaxProgramGenerator:
         interpreter executable: zero per-structure compiles."""
         vm, program = self._vm_program(expression)
         if program is not None:
+            self.vm_hits += 1
             return self._build_vm_solver(vm, program, expression)
+        self.vm_misses += 1
+        if vm is not None and getattr(vm, "last_failure", None) == "pad_overflow":
+            self.vm_pad_overflows += 1
         key = canonical_string(expression, parameterize_relaxation=True)
         omega_values = [
             float(c.relaxation_factor) for c in collect_cycles(expression)
@@ -463,8 +484,10 @@ class JaxProgramGenerator:
         return vm
 
     def _vm_program(self, expression):
-        """(vm, Program) when the expression is expressible in the VM ISA,
-        else (None, None) — the per-structure lowering path applies."""
+        """(vm, Program) when the expression is expressible in the VM ISA.
+        On translation failure returns (vm, None) with `vm.last_failure`
+        set; (None, None) when the VM doesn't apply at all (FAS, single
+        level) — either way the per-structure lowering path applies."""
         if getattr(self.problem, "uses_fas", False):
             return None, None
         level = self._expression_level(expression)
@@ -473,7 +496,8 @@ class JaxProgramGenerator:
         vm = self._vm_for(level)
         program = vm.translate(expression)
         if program is None:
-            return None, None
+            # vm is returned so the caller can read vm.last_failure.
+            return vm, None
         return vm, program
 
     def _build_vm_solver(self, vm, program, expression):
@@ -485,6 +509,14 @@ class JaxProgramGenerator:
         key = ("__vm__", level, vm.isa_version)
         if key in self._solver_cache:
             return self._solver_cache[key], omega_arg, False
+        if any(
+            isinstance(k, tuple) and k[:2] == ("__vm__", level)
+            for k in self._solver_cache
+        ):
+            # A previous ISA version was already compiled for this level —
+            # a lazily-registered op (novel transfer stencil / Krylov CGS)
+            # is forcing a full interpreter recompile.
+            self.vm_isa_recompiles += 1
         step = vm.make_step()
         operator = self._finest_operator_for(expression)
         stage_raw, power_raw = self._stage_power_fns(step, operator)

@@ -99,6 +99,7 @@ class CycleVM:
         self._op_index = {}
         self._branches = [self._nop_branch()]
         self.isa_version = 0
+        self.last_failure = None  # "not_translatable" | "pad_overflow"
         self._preregister()
 
     # ------------------------------------------------------------------
@@ -269,11 +270,17 @@ class CycleVM:
         chains bottoming out in a ZeroApproximation whose rhs is the
         restricted residual, and coarsest-level CGS corrections."""
         instrs: List[Tuple[int, float]] = []
+        self.last_failure = None
         try:
             self._emit(expression, instrs)
         except _NotTranslatable:
+            self.last_failure = "not_translatable"
             return None
-        if not instrs or len(instrs) > PROGRAM_PAD:
+        if not instrs:
+            self.last_failure = "not_translatable"
+            return None
+        if len(instrs) > PROGRAM_PAD:
+            self.last_failure = "pad_overflow"
             return None
         opcodes = np.zeros((PROGRAM_PAD,), dtype=np.int32)
         omegas = np.ones((PROGRAM_PAD,), dtype=np.float32)

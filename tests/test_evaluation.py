@@ -141,7 +141,9 @@ class TestCaching:
 
         c1 = scaled_jacobi(0.7, 1)
         c2 = scaled_jacobi(0.7, 2)
-        assert gen._vm_program(c1) == (None, None)
+        vm1, prog1 = gen._vm_program(c1)
+        assert prog1 is None
+        assert vm1.last_failure == "not_translatable"
         gen.generate_and_evaluate(c1, evaluation_samples=1)
         _, _, built = gen._build_solver(c2)
         assert built is True

@@ -112,5 +112,8 @@ def test_generate_and_evaluate_uses_vm(setup):
     assert len(vm_keys) == 1
     # omega=1.9 plain Jacobi diverges -> infinity poisoning through the VM
     t3, rho3, it3 = gen.generate_and_evaluate(jacobi(1.9, 1), evaluation_samples=1)
-    assert it3 == 1e100
+    # Time is poisoned; the iteration slot reports the finite measured/
+    # extrapolated count for the EA's sqrt(rho*iters) fallback.
+    assert t3 == 1e100
+    assert it3 >= gen.iteration_limit
     assert len([k for k in gen._solver_cache if isinstance(k, tuple) and k[0] == "__vm__"]) == 1
