@@ -13,9 +13,18 @@ Defaults model one TPU v5e chip driving f32 stencil sweeps on the VPU:
   peak_bandwidth   ≈ 8.1e11 B/s HBM,
   bytes_per_word   = 4 (float32).
 Stencil sweeps are bandwidth-bound at these ratios, exactly as on the
-reference's CPU — only the constants change.  The red-black penalty
-(two half-sweeps touch the full residual twice but mask half the
-updates) is ~1.6 on TPU where masked lanes still execute.
+reference's CPU — only the constants change.
+
+Calibration: `red_black_penalty` and `kernel_launch_overhead` are fitted
+to per-cycle device timings of lowered reference cycles on the real chip
+(scripts/calibrate_roofline.py; measurements committed under
+artifacts/roofline_calibration.json and asserted against the model in
+tests/test_models.py).  The reference's 1.4303… penalty was likewise
+"experimentally obtained" (performance.py:93-94).
+
+Besides runtime the walker also accumulates the modeled HBM traffic in
+bytes (`estimate_traffic`), which the headline benchmark divides by the
+measured per-cycle time to report achieved-bandwidth utilization.
 """
 
 from __future__ import annotations
@@ -27,7 +36,15 @@ from evostencils_tpu.stencils import periodic
 
 TPU_V5E_PEAK_F32_FLOPS = 3.9e12
 TPU_V5E_HBM_BANDWIDTH = 8.1e11
+# Fitted on TPU v5e (scripts/calibrate_roofline.py): red-black smoothing
+# costs ~this factor over the single-sweep roofline point — the fused
+# Pallas kernel recomputes the residual per color but keeps u VMEM-
+# resident, so the penalty is traffic-mild (≈3.25/3 array passes) plus
+# the second color's VPU pass.
 RED_BLACK_PENALTY_TPU = 1.6
+# Fused-kernel fixed cost per stencil pass (pipeline fill + dispatch),
+# dominating for tiny coarse grids.  Fitted alongside the penalty.
+KERNEL_LAUNCH_OVERHEAD_TPU = 2e-6
 
 
 class PerformanceEvaluator:
@@ -38,7 +55,8 @@ class PerformanceEvaluator:
         bytes_per_word: int = 4,
         runtime_coarse_grid_solver: float = 0.0,
         red_black_penalty: float = RED_BLACK_PENALTY_TPU,
-        kernel_launch_overhead: float = 2e-6,
+        kernel_launch_overhead: float = KERNEL_LAUNCH_OVERHEAD_TPU,
+        red_black_traffic_factor: float = 3.25 / 3.0,
     ):
         self.peak_performance = peak_performance
         self.peak_bandwidth = peak_bandwidth
@@ -48,6 +66,10 @@ class PerformanceEvaluator:
         # Per-fused-kernel fixed cost: on TPU each fused stencil pass has a
         # dispatch/pipeline overhead that dominates for tiny coarse grids.
         self.kernel_launch_overhead = kernel_launch_overhead
+        # Traffic (not time) multiplier for red-black: the fused kernel's
+        # halo re-reads (ops/pallas_kernels.py) add ~8% over the 3-pass
+        # single-sweep minimum.
+        self.red_black_traffic_factor = red_black_traffic_factor
 
     def set_runtime_of_coarse_grid_solver(self, runtime: float):
         self.runtime_coarse_grid_solver = runtime
@@ -70,6 +92,16 @@ class PerformanceEvaluator:
             total_operations / self.compute_performance(intensity)
             + self.kernel_launch_overhead
         )
+
+    def compute_bytes(self, operations: float, words: float, total_operations: float) -> float:
+        """Modeled HBM traffic of a stencil pass: words/cell × cells.
+
+        `total_operations = operations · cells` at every call site, so the
+        cell count is recovered as their ratio."""
+        if operations <= 0.0 or words <= 0.0:
+            return 0.0
+        cells = total_operations / operations
+        return words * cells * self.bytes_per_word
 
     # -- per-node op/word counting ----------------------------------------
 
@@ -155,37 +187,47 @@ class PerformanceEvaluator:
                 words += n + 1
         return operations, words
 
-    # -- recursive runtime estimation (reference performance.py:50-148) ----
+    # -- recursive runtime + traffic estimation ----------------------------
+    # (reference performance.py:50-148, extended to carry modeled bytes)
 
     def estimate_runtime(self, expression: base.Expression) -> float:
+        return self.estimate_runtime_and_traffic(expression)[0]
+
+    def estimate_traffic(self, expression: base.Expression) -> float:
+        """Modeled HBM bytes moved by one application of the cycle."""
+        return self.estimate_runtime_and_traffic(expression)[1]
+
+    def estimate_runtime_and_traffic(self, expression: base.Expression):
         cached = expression.analysis_cache.get("roofline_runtime")
         if cached is not None:
             return cached
-        runtime = self._estimate(expression)
-        expression.analysis_cache["roofline_runtime"] = runtime
-        return runtime
+        result = self._estimate(expression)
+        expression.analysis_cache["roofline_runtime"] = result
+        return result
 
-    def _estimate(self, expression) -> float:
+    def _estimate(self, expression):
         if isinstance(expression, base.Cycle):
             correction = expression.correction
             if isinstance(correction, base.Residual):
                 operations, words = 0, 0
-                runtime = self.estimate_runtime(correction)
+                runtime, traffic = self.estimate_runtime_and_traffic(correction)
             elif isinstance(correction, base.Multiplication):
                 if isinstance(correction.operand1, system.InterGridOperator):
-                    runtime = self.estimate_runtime(correction.operand2)
+                    runtime, traffic = self.estimate_runtime_and_traffic(
+                        correction.operand2
+                    )
                     operations, words = self._intergrid_cost(correction.operand1)
                 elif isinstance(correction.operand1, base.Inverse):
                     residual = correction.operand2
-                    runtime = self._dependency_runtime(residual)
+                    runtime, traffic = self._dependency_cost(residual)
                     operations, words = self._smoother_cost(
                         correction.operand1.operand, residual
                     )
                 else:
-                    runtime = self.estimate_runtime(correction)
+                    runtime, traffic = self.estimate_runtime_and_traffic(correction)
                     operations, words = 0, 0
             else:
-                runtime = self.estimate_runtime(correction)
+                runtime, traffic = self.estimate_runtime_and_traffic(correction)
                 operations, words = 0, 0
             grid = expression.grid
             n_fields = len(grid) if isinstance(grid, list) else 1
@@ -193,34 +235,53 @@ class PerformanceEvaluator:
             words += 2 * n_fields  # load + store of the iterate
             cells = self._cells(expression.grid)
             step = self.compute_runtime(operations, words, operations * cells)
+            step_bytes = self.compute_bytes(operations, words, operations * cells)
             if expression.partitioning is partitioning.RedBlack or isinstance(
                 expression.partitioning, partitioning.RedBlack
             ):
                 step *= self.red_black_penalty
-            return runtime + step
+                step_bytes *= self.red_black_traffic_factor
+            return runtime + step, traffic + step_bytes
 
         if isinstance(expression, base.Residual):
-            runtime = self._dependency_runtime(expression)
+            runtime, traffic = self._dependency_cost(expression)
             operations, words = self._residual_cost(expression)
             cells = self._cells(expression.grid)
-            return runtime + self.compute_runtime(operations, words, operations * cells)
+            return (
+                runtime + self.compute_runtime(operations, words, operations * cells),
+                traffic + self.compute_bytes(operations, words, operations * cells),
+            )
 
         if isinstance(expression, base.Multiplication):
             op1 = expression.operand1
             if isinstance(op1, system.InterGridOperator):
-                runtime = self.estimate_runtime(expression.operand2)
+                runtime, traffic = self.estimate_runtime_and_traffic(
+                    expression.operand2
+                )
                 operations, words = self._intergrid_cost(op1)
                 cells = self._cells(expression.grid)
-                return runtime + self.compute_runtime(operations, words, operations * cells)
+                return (
+                    runtime
+                    + self.compute_runtime(operations, words, operations * cells),
+                    traffic
+                    + self.compute_bytes(operations, words, operations * cells),
+                )
             if isinstance(op1, base.CoarseGridSolver):
-                runtime = self.estimate_runtime(expression.operand2)
+                runtime, traffic = self.estimate_runtime_and_traffic(
+                    expression.operand2
+                )
                 if op1.expression is not None and hasattr(op1.expression, "expression"):
-                    runtime += self.estimate_runtime(op1.expression.expression)
+                    r2, t2 = self.estimate_runtime_and_traffic(
+                        op1.expression.expression
+                    )
+                    runtime += r2
+                    traffic += t2
                 elif self.runtime_coarse_grid_solver:
                     runtime += self.runtime_coarse_grid_solver
                 else:
                     # Dense inverse matvec on the MXU: 2·N² flops at matmul
-                    # rates, N = coarse unknowns.
+                    # rates, N = coarse unknowns; the N² matrix is streamed
+                    # from HBM each application.
                     n = self._cells(op1.grid) * (
                         len(op1.grid) if isinstance(op1.grid, list) else 1
                     )
@@ -228,15 +289,20 @@ class PerformanceEvaluator:
                         2.0 * n * n / self.peak_performance,
                         n * n * self.bytes_per_word / self.peak_bandwidth,
                     ) + self.kernel_launch_overhead
-                return runtime
+                    traffic += n * n * self.bytes_per_word
+                return runtime, traffic
             if isinstance(op1, base.Inverse):
                 residual = expression.operand2
-                runtime = self._dependency_runtime(residual)
+                runtime, traffic = self._dependency_cost(residual)
                 operations, words = self._smoother_cost(op1.operand, residual)
                 cells = self._cells(expression.grid)
-                return runtime + self.compute_runtime(operations, words, operations * cells)
-            runtime = self.estimate_runtime(expression.operand2)
-            return runtime
+                return (
+                    runtime
+                    + self.compute_runtime(operations, words, operations * cells),
+                    traffic
+                    + self.compute_bytes(operations, words, operations * cells),
+                )
+            return self.estimate_runtime_and_traffic(expression.operand2)
 
         if isinstance(expression, (base.Addition, base.Subtraction)):
             grid = expression.grid
@@ -244,21 +310,24 @@ class PerformanceEvaluator:
             cells = self._cells(grid)
             ops = n_fields
             words = 3 * n_fields
+            r1, t1 = self.estimate_runtime_and_traffic(expression.operand1)
+            r2, t2 = self.estimate_runtime_and_traffic(expression.operand2)
             return (
-                self.estimate_runtime(expression.operand1)
-                + self.estimate_runtime(expression.operand2)
-                + self.compute_runtime(ops, words, ops * cells)
+                r1 + r2 + self.compute_runtime(ops, words, ops * cells),
+                t1 + t2 + self.compute_bytes(ops, words, ops * cells),
             )
         if isinstance(expression, base.Scaling):
-            return self.estimate_runtime(expression.operand)
+            return self.estimate_runtime_and_traffic(expression.operand)
         if isinstance(expression, (base.Entity, system.System)):
-            return 0.0
+            return 0.0, 0.0
         raise NotImplementedError(f"Roofline: {type(expression).__name__}")
 
-    def _dependency_runtime(self, residual: base.Residual) -> float:
-        runtime = 0.0
+    def _dependency_cost(self, residual: base.Residual):
+        runtime, traffic = 0.0, 0.0
         if not isinstance(residual.rhs, system.RightHandSide):
-            runtime += self.estimate_runtime(residual.rhs)
+            r, t = self.estimate_runtime_and_traffic(residual.rhs)
+            runtime += r
+            traffic += t
         if not isinstance(residual.approximation, system.Approximation) or isinstance(
             residual.approximation, base.Cycle
         ):
@@ -266,5 +335,7 @@ class PerformanceEvaluator:
                 system.Approximation,
                 system.ZeroApproximation,
             ):
-                runtime += self.estimate_runtime(residual.approximation)
-        return runtime
+                r, t = self.estimate_runtime_and_traffic(residual.approximation)
+                runtime += r
+                traffic += t
+        return runtime, traffic

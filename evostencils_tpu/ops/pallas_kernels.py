@@ -9,14 +9,35 @@ of a red-black step: HBM traffic drops from ~4 array passes to the
 minimum 3 (read u, read f, write u), which on a bandwidth-bound v5e is
 the speed-of-light budget for this operation.
 
-Scope: 2D scalar constant-coefficient stencils, whole-array-in-VMEM
-operation (interior ≤ 1024² at f32 — the reference's default problem
-sizes).  Larger grids and systems fall back to the fused-jnp path; a
-row-blocked double-buffered variant is the natural extension.
+Two variants share the math:
+
+  * whole-array: u, f and the result live in VMEM for the entire fused
+    step (interior ≤ 512² at f32);
+  * row-blocked (≥ 512², incl. the 1024²/2048² headline grids): the grid
+    iterates over row blocks; each step fetches its (B, N) u/f blocks
+    plus thin 8-row halo blocks above/below, computes the red half-sweep
+    on an extended window from *old* values only, then the black
+    half-sweep on the interior rows, and writes back exactly its B rows.
+    Pallas double-buffers the HBM→VMEM block pipeline across grid steps
+    automatically, so DMA overlaps compute.  Per full red-black step the
+    HBM traffic is ~(1+2·8/B)·|u| read + ~(1+2·8/B)·|f| read + |u|
+    written ≈ 3.25 array passes at B=128 — within ~10% of the 3-pass
+    speed of light, vs ~6 passes for the masked-jnp path (which
+    round-trips u through HBM between colors).
+
+Correctness of the blocked variant: both half-sweeps are Jacobi *within*
+a color (the residual for a color is computed entirely from pre-phase
+values — same semantics the LFA two-sweep symbol models), so overlap
+recomputation is hazard-free: red values needed by a block's black rows
+are recomputed locally from old u, and every block writes a disjoint row
+range of a separate output buffer.  This holds for any stencil radius
+≤ 8 (the halo height), including same-color-coupled (9-point) stencils.
 
 Boundary semantics: homogeneous Dirichlet — shifted loads are realized as
 `pltpu.roll` plus an edge mask that zeroes the wrapped lane, exactly
-matching ops/stencil_ops.apply_constant_stencil's zero padding.
+matching ops/stencil_ops.apply_constant_stencil's zero padding; in the
+blocked variant, window rows whose *global* row index falls outside the
+domain are zeroed before compute.
 """
 
 from __future__ import annotations
@@ -32,18 +53,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from evostencils_tpu.stencils import constant
 
-# VMEM budget: u + f + out + headroom must fit in ~16 MB.
+# Whole-array variant: u + f + out + headroom must fit in ~16 MB VMEM.
 _MAX_VMEM_CELLS = 512 * 512
+# Row-blocked variant: halo block height (min f32 sublane tile is 8 rows;
+# also the supported maximum stencil radius) and the default block rows.
+_HALO = 8
+_BLOCK_ROWS = 128
+# Largest grid the blocked variant accepts: bounded only by HBM.
+_MAX_BLOCKED_CELLS = 16384 * 16384
 
 
 def _shifted(u, offset, shape):
     """u[x+offset] with zeros outside the interior, via roll + edge mask."""
     oi, oj = offset
     out = u
+    # int32 shift amounts: Python ints become i64 under jax_enable_x64,
+    # which tpu.dynamic_rotate rejects.
     if oi != 0:
-        out = pltpu.roll(out, (-oi) % shape[0], 0)
+        out = pltpu.roll(out, jnp.int32((-oi) % shape[0]), 0)
     if oj != 0:
-        out = pltpu.roll(out, (-oj) % shape[1], 1)
+        out = pltpu.roll(out, jnp.int32((-oj) % shape[1]), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     mask = jnp.ones(shape, dtype=jnp.bool_)
@@ -55,7 +84,7 @@ def _shifted(u, offset, shape):
         mask = jnp.logical_and(mask, cols < shape[1] - oj)
     elif oj < 0:
         mask = jnp.logical_and(mask, cols >= -oj)
-    return jnp.where(mask, out, 0.0)
+    return jnp.where(mask, out, jnp.zeros((), out.dtype))
 
 
 def _apply_stencil_in_vmem(u, entries, shape):
@@ -72,22 +101,137 @@ def _rb_sweep_kernel(entries, inv_diag, shape, omega_ref, u_ref, f_ref, out_ref)
     omega = omega_ref[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    red = ((rows + cols) % 2) == 0
+    # bitwise_and keeps the parity test in int32: a Python `% 2`
+    # would promote to int64 under jax_enable_x64, which Mosaic
+    # cannot lower inside a TPU kernel.
+    red = jnp.bitwise_and(rows + cols, jnp.int32(1)) == 0
     for color_mask in (red, jnp.logical_not(red)):
         r = f - _apply_stencil_in_vmem(u, entries, shape)
-        u = u + jnp.where(color_mask, omega * inv_diag * r, 0.0)
+        u = u + jnp.where(
+            color_mask,
+            (omega * jnp.asarray(inv_diag, u.dtype)) * r,
+            jnp.zeros((), u.dtype),
+        )
     out_ref[:] = u
 
 
+def _stencil_radius(entries) -> int:
+    return max((max(abs(o) for o in off) for off, _ in entries), default=0)
+
+
 def supports_rb_sweep(shape: Tuple[int, ...], stencil, dtype) -> bool:
-    return (
+    if not (
         len(shape) == 2
         and isinstance(stencil, constant.Stencil)
         and stencil.dimension == 2
-        and np.prod(shape) <= _MAX_VMEM_CELLS
         and jnp.dtype(dtype) == jnp.float32
         and all(not isinstance(v, complex) for v in stencil.values)
+    ):
+        return False
+    if np.prod(shape) <= _MAX_VMEM_CELLS:
+        return True
+    # Row-blocked variant: needs halo cover for the stencil reach and at
+    # least one full block of rows.
+    return (
+        np.prod(shape) <= _MAX_BLOCKED_CELLS
+        and _stencil_radius(stencil.entries) * 2 <= _HALO
+        and shape[0] > _BLOCK_ROWS
     )
+
+
+def _rb_blocked_kernel(entries, inv_diag, n_rows, block_rows, n_cols,
+                       omega_ref, u_lo, u_c, u_hi, f_lo, f_c, f_hi, out_ref):
+    """One grid step: red on the (halo-extended) window from old values,
+    black on the interior rows, write back exactly this block's rows.
+
+    u_lo/u_hi and f_lo/f_hi are 8-row halo blocks whose index maps clamp
+    at the domain edges; rows are validated by *global position*, so
+    clamped duplicates are zeroed rather than consumed."""
+    i = pl.program_id(0)
+    omega = omega_ref[0]
+    wshape = (block_rows + 2 * _HALO, n_cols)
+
+    g0 = i * block_rows - _HALO  # global row of window row 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, wshape, 0) + g0
+    cols = jax.lax.broadcasted_iota(jnp.int32, wshape, 1)
+    valid = jnp.logical_and(rows >= 0, rows < n_rows)
+
+    u = jnp.concatenate([u_lo[:], u_c[:], u_hi[:]], axis=0)
+    f = jnp.concatenate([f_lo[:], f_c[:], f_hi[:]], axis=0)
+    zero = jnp.zeros((), u.dtype)
+    u = jnp.where(valid, u, zero)
+    f = jnp.where(valid, f, zero)
+
+    # bitwise_and keeps the parity test in int32: a Python `% 2`
+    # would promote to int64 under jax_enable_x64, which Mosaic
+    # cannot lower inside a TPU kernel.
+    red = jnp.bitwise_and(rows + cols, jnp.int32(1)) == 0
+    for color_mask in (red, jnp.logical_not(red)):
+        r = f - _apply_stencil_in_vmem(u, entries, wshape)
+        u = u + jnp.where(
+            jnp.logical_and(color_mask, valid),
+            (omega * jnp.asarray(inv_diag, u.dtype)) * r,
+            zero,
+        )
+    out_ref[:] = u[_HALO:_HALO + block_rows, :]
+
+
+@functools.partial(jax.jit, static_argnames=("entries", "inv_diag", "interpret"))
+def _rb_blocked_call(u, f, omega, entries, inv_diag, interpret):
+    n_rows, n_cols = u.shape
+    B = _BLOCK_ROWS
+    nb = B // _HALO  # halo blocks per row block
+    n8 = pl.cdiv(n_rows, _HALO)
+    kernel = functools.partial(
+        _rb_blocked_kernel, entries, inv_diag, n_rows, B, n_cols
+    )
+
+    # index maps must return int32 scalars — Python-int arithmetic
+    # promotes to int64 under jax_enable_x64, which Mosaic rejects.
+    # Constants are built *inside* each map (index maps are traced
+    # separately and must not capture outer tracers); everything is kept
+    # int32 — Python-int arithmetic would promote to int64 under
+    # jax_enable_x64, which Mosaic rejects.
+    def lo_map(i):
+        i = jnp.int32(i)
+        return (jnp.maximum(i * jnp.int32(nb) - 1, jnp.int32(0)), jnp.int32(0))
+
+    def hi_map(i):
+        i = jnp.int32(i)
+        return (
+            jnp.minimum((i + 1) * jnp.int32(nb), jnp.int32(n8 - 1)),
+            jnp.int32(0),
+        )
+
+    def cur_map(i):
+        return (jnp.int32(i), jnp.int32(0))
+
+    halo_spec_u = pl.BlockSpec((_HALO, n_cols), lo_map, memory_space=pltpu.VMEM)
+    halo_spec_u_hi = pl.BlockSpec((_HALO, n_cols), hi_map, memory_space=pltpu.VMEM)
+    block_spec = pl.BlockSpec((B, n_cols), cur_map, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n_rows, B),),
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=[
+            # The SMEM ω needs an explicit (block, index-map) pair inside
+            # a grid kernel — a whole-array SMEM spec fails to compile.
+            pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            halo_spec_u,
+            block_spec,
+            halo_spec_u_hi,
+            pl.BlockSpec((_HALO, n_cols), lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n_cols), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HALO, n_cols), hi_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, n_cols), cur_map, memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * len(entries) * np.prod(u.shape)),
+            bytes_accessed=int(3 * 4 * np.prod(u.shape)),
+            transcendentals=0,
+        ),
+    )(omega, u, u, u, f, f, f)
 
 
 @functools.partial(jax.jit, static_argnames=("entries", "inv_diag", "interpret"))
@@ -126,4 +270,6 @@ def red_black_collective_jacobi_sweep(u, f, omega, stencil: constant.Stencil):
     inv_diag = float(1.0 / stencil.center_value())
     interpret = jax.default_backend() != "tpu"
     omega_arr = jnp.asarray([omega], dtype=u.dtype)
+    if int(np.prod(u.shape)) > _MAX_VMEM_CELLS:
+        return _rb_blocked_call(u, f, omega_arr, entries, inv_diag, interpret)
     return _rb_sweep_call(u, f, omega_arr, entries, inv_diag, interpret)

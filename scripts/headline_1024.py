@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Headline benchmark: 2D Poisson 1024² time-to-1e-10 residual.
+
+Measures textbook V-cycles and evolved champions with the ENTIRE staged
+solve compiled into one XLA executable (backend/device_solve.py), so the
+development tunnel's ~25 ms dispatch latency is paid once per solve — the
+fair analog of the reference's in-process C++ solve loop (reference
+code_generation/exastencils.py:417-443).
+
+Reported per solver:
+  * measured asymptotic ρ (power iteration, backend/evaluation.py),
+  * cycles executed to the 1e-10 relative-residual target,
+  * device time-to-target (min/median over repeats, one dispatch each),
+  * per-cycle device time (fori-loop differencing: (t(3K)-t(K))/2K),
+  * modeled HBM traffic per cycle (models/roofline.estimate_traffic) and
+    the achieved bandwidth vs the 810 GB/s v5e roofline.
+
+Usage:
+  python scripts/headline_1024.py                       # textbook V(2,1)/V(2,2)
+  python scripts/headline_1024.py --champion artifacts/poisson2d_champion_run1.txt --tune
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_champion_file(path):
+    tree_string = None
+    omegas = None
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("# tuned omegas:"):
+                omegas = json.loads(line.split(":", 1)[1])
+            elif not line.startswith("#") and tree_string is None:
+                tree_string = line
+    return tree_string, omegas
+
+
+def per_cycle_time(step, u0, f, iters=100):
+    """Per-cycle device seconds via fori-loop differencing (removes the
+    tunnel dispatch constant)."""
+    import jax
+
+    def k_loop(n):
+        @jax.jit
+        def run(u, f):
+            return jax.lax.fori_loop(0, n, lambda i, uu: step(uu, f), u)
+
+        jax.block_until_ready(run(u0, f))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(u0, f))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = k_loop(iters)
+    t3 = k_loop(3 * iters)
+    return max((t3 - t1) / (2 * iters), 1e-9)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--min-level", type=int, default=6)
+    parser.add_argument("--max-level", type=int, default=10)
+    parser.add_argument("--target", type=float, default=1e-10)
+    parser.add_argument("--repeats", type=int, default=9)
+    parser.add_argument("--champion", action="append", default=[],
+                        help="artifact file with a champion tree string")
+    parser.add_argument("--tune", action="store_true",
+                        help="gradient-retune champion ω at this size")
+    parser.add_argument("--no-pallas", action="store_true")
+    args = parser.parse_args()
+
+    sys.setrecursionlimit(100000)
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evostencils_tpu.backend.device_solve import staged_solver_for_expression
+    from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+    from evostencils_tpu.backend.lowering import CycleLowering
+    from evostencils_tpu.grammar import gp
+    from evostencils_tpu.grammar.multigrid import generate_primitive_set
+    from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+    from evostencils_tpu.models.roofline import (
+        PerformanceEvaluator,
+        TPU_V5E_HBM_BANDWIDTH,
+    )
+    from evostencils_tpu.problems.poisson import poisson_2d
+
+    problem = poisson_2d(
+        min_level=args.min_level, max_level=args.max_level, dtype=jnp.float32
+    )
+    depth = args.max_level - args.min_level
+    pset, terminal_list = generate_primitive_set(
+        problem.approximation(), problem.rhs(), problem.dimension,
+        problem.coarsening_factors, problem.max_level, problem.equations,
+        problem.operators, problem.fields, depth=depth,
+        maximum_local_system_size=8,
+    )
+    operator = terminal_list[0].operator
+
+    solvers = []
+    for pre, post in ((2, 1), (2, 2)):
+        expr = generate_v_cycle(
+            terminal_list, problem.rhs(), pre_smoothing=pre, post_smoothing=post
+        )
+        solvers.append((f"textbook V({pre},{post})", expr, None))
+    for path in args.champion:
+        tree_string, omegas = parse_champion_file(path)
+        tree = gp.parse_tree(tree_string, pset)
+        expr, _ = gp.compile_tree(tree, pset)
+        name = path.rsplit("/", 1)[-1].replace(".txt", "")
+        if args.tune:
+            from evostencils_tpu.optimization.relaxation import (
+                tune_relaxation_factors,
+            )
+
+            omegas, _ = tune_relaxation_factors(expr, problem, iterations=60)
+            omegas = None  # factors are set in place on the expression
+            name += " (retuned)"
+        elif omegas is not None:
+            name += " (stored ω)"
+        solvers.append((name, expr, omegas))
+
+    use_pallas = not args.no_pallas
+    lowering32 = CycleLowering(jnp.float32, use_pallas=use_pallas)
+    lowering64 = CycleLowering(jnp.float64, use_pallas=False)
+    generator = JaxProgramGenerator(problem, dtype=jnp.float32)
+    perf = PerformanceEvaluator()
+
+    u0_32, f_32 = problem.initial_state(jnp.float32)
+    f64_rhs = tuple(jnp.asarray(np.asarray(x), jnp.float64) for x in f_32)
+
+    rows = []
+    for name, expr, omegas in solvers:
+        _, rho, _ = generator.generate_and_evaluate(expr, evaluation_samples=1)
+
+        solve = staged_solver_for_expression(
+            lowering32, lowering64, expr, operator, problem,
+            omegas=omegas, target=args.target,
+        )
+        cycles, rel, stages = jax.block_until_ready(solve(f_32, f64_rhs))
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(solve(f_32, f64_rhs))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        t_min, t_med = times[0], times[len(times) // 2]
+
+        if omegas is not None:
+            pstep, _ = lowering32.lower_parameterized(expr)
+            om = jnp.asarray(omegas, jnp.float32)
+            step = lambda u, f: pstep(u, f, om)  # noqa: E731
+        else:
+            step = lowering32.lower(expr)
+        t_cycle = per_cycle_time(step, u0_32, f_32)
+        bytes_cycle = perf.estimate_traffic(expr)
+        bw = bytes_cycle / t_cycle
+        rows.append({
+            "solver": name,
+            "rho": float(rho),
+            "cycles": int(cycles),
+            "stages": int(stages),
+            "rel_residual": float(rel),
+            "t_min_ms": 1e3 * t_min,
+            "t_med_ms": 1e3 * t_med,
+            "t_cycle_us": 1e6 * t_cycle,
+            "GBps": bw / 1e9,
+            "bw_util_pct": 100.0 * bw / TPU_V5E_HBM_BANDWIDTH,
+        })
+        print(f"[{name}] rho={rho:.4f} cycles={int(cycles)} "
+              f"rel={float(rel):.2e} t_min={1e3*t_min:.1f}ms "
+              f"t_cycle={1e6*t_cycle:.1f}us bw={bw/1e9:.0f}GB/s", flush=True)
+
+    n = 2 ** args.max_level
+    print(f"\n## 2D Poisson {n}² time-to-{args.target:g} (one-jit staged solve, "
+          f"{'pallas' if use_pallas else 'jnp'} kernels)\n")
+    print("| solver | ρ | cycles | device time-to-target (min/med ms) | "
+          "per-cycle µs | modeled GB/s | BW util % |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['solver']} | {r['rho']:.3f} | {r['cycles']} | "
+              f"{r['t_min_ms']:.1f} / {r['t_med_ms']:.1f} | "
+              f"{r['t_cycle_us']:.1f} | {r['GBps']:.0f} | "
+              f"{r['bw_util_pct']:.0f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
