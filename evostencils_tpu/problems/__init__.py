@@ -24,3 +24,31 @@ def build_named_problem(name: str, min_level: int = 5, max_level: int = 9):
     if name == "fas":
         return fas_2d(min_level=5, max_level=9)
     raise ValueError(f"Unknown problem {name!r}")
+
+
+def load_problem_file(path: str, knowledge_path: str = None, dtype=None):
+    """Load a reference problem spec by file extension: .exa2 (layer-2),
+    .exa3 (layer-3 configs incl. hand-written outer solvers), .exa4
+    (layer-4 FAS templates).  All four reference problem families load
+    verbatim from /root/reference/example_problems with this entry point
+    (reference parser surface: code_generation/parser.py:25-169)."""
+    from evostencils_tpu.problems import parser as _parser
+
+    if knowledge_path is None:
+        for candidate in (
+            path.rsplit(".", 1)[0] + ".knowledge",
+            path.replace("_template", "").rsplit(".", 1)[0] + ".knowledge",
+        ):
+            import os
+
+            if os.path.isfile(candidate):
+                knowledge_path = candidate
+                break
+    ext = path.rsplit(".", 1)[-1]
+    if ext == "exa2":
+        return _parser.parse_exa2(path, knowledge_path, dtype=dtype)
+    if ext == "exa3":
+        return _parser.parse_exa3(path, knowledge_path, dtype=dtype)
+    if ext == "exa4":
+        return _parser.parse_exa4(path, knowledge_path, dtype=dtype)
+    raise ValueError(f"Unknown problem file extension: {path}")

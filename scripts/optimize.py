@@ -45,6 +45,12 @@ def main():
     parser.add_argument("--tune", action="store_true",
                         help="gradient-tune the best individual's relaxation "
                              "factors after evolution")
+    parser.add_argument("--problem-file", default=None,
+                        help="load a reference .exa2/.exa3/.exa4 spec "
+                             "directly instead of a named problem")
+    parser.add_argument("--knowledge", default=None,
+                        help=".knowledge file for --problem-file (auto-"
+                             "discovered next to the spec when omitted)")
     parser.add_argument("--continue-from-checkpoint", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
@@ -60,10 +66,17 @@ def main():
     from evostencils_tpu.models.lfa import ConvergenceEvaluator
     from evostencils_tpu.models.roofline import PerformanceEvaluator
     from evostencils_tpu.optimization.optimizer import Optimizer
-    from evostencils_tpu.problems import build_named_problem
+    from evostencils_tpu.problems import build_named_problem, load_problem_file
 
-    problem = build_named_problem(args.problem, args.min_level, args.max_level)
-    output_dir = args.output or f"results_{args.problem}"
+    if args.problem_file:
+        problem = load_problem_file(args.problem_file, args.knowledge)
+        problem = problem.with_levels(
+            args.min_level if args.min_level != 5 else problem.min_level,
+            args.max_level if args.max_level != 9 else problem.max_level,
+        )
+    else:
+        problem = build_named_problem(args.problem, args.min_level, args.max_level)
+    output_dir = args.output or f"results_{problem.name}"
     os.makedirs(output_dir, exist_ok=True)
 
     generator = JaxProgramGenerator(problem)

@@ -102,9 +102,12 @@ class TestGrammar:
             expr, _ = gp.compile_tree(tree, pset)
             t, rho, iters = gen.generate_and_evaluate(expr, evaluation_samples=1)
             assert rho > 0
-            if rho < 1 and iters < 1e50:
+            # Convergence within budget is signaled by a finite time; the
+            # iteration slot stays finite (measured count) even for
+            # cap-breaching individuals.
+            if t < 1e50:
                 converged += 1
-                assert t < 1e50
+                assert rho < 1 and iters <= gen.iteration_limit
         assert converged >= 1  # statistically ~75% converge
 
 
