@@ -1,21 +1,25 @@
-"""Whole-solve-in-one-jit driver: time-to-deep-target on device.
+"""Staged deep solves with device-fused inner loops: time-to-1e-10.
 
 The development TPU tunnel adds ~25 ms latency per dispatched executable,
-which swamps per-cycle device compute (~25-70 µs at 1023²-2047²).  The
+which swamps per-cycle device compute (~0.1-0.5 ms at 1023²).  The
 reference's generated C++ binaries have no such boundary — their solve
 loop runs in-process (reference code_generation/exastencils.py:417-443).
-This module is the fair analog: the ENTIRE staged solve — f32 multigrid
-cycles, per-cycle residual norms, float64 restart residuals, and the
-outer convergence test — compiles into ONE XLA executable driven by
-`lax.while_loop`, so a measurement pays the dispatch boundary once.
+The fair analog: each *stage* — dozens of f32 multigrid cycles plus
+per-cycle residual norms and stall detection — compiles into ONE XLA
+executable driven by `lax.while_loop`, so a full solve pays the dispatch
+boundary once per stage (3-5 stages), not once per cycle.
 
-Staging (same math as the host-side restarted measurement in
-backend/evaluation.py): f32 cycles reduce the stage residual by
-`stage_reduction`; the stage correction is accumulated into a float64
-iterate; the exact float64 residual (XLA-emulated f64 on TPU — cheap at
-once-per-stage) becomes the next stage's f32 right-hand side.  Stage
-reductions compound, so f32 sweeps resolve relative residuals far below
-the f32 floor — to the reference's 1e-10/1e-12 targets.
+Why stages at all: with A-entries of size 4/h² (≈4·2²⁰ at 1024²), the
+f32 residual r = f − A·u floors near 5e-3·‖f‖ from term cancellation, and
+even the TPU's emulated float64 (double-single, ~2⁻⁴⁸ mantissa) floors
+near 1.5e-10 — at the measurement target.  So the restart residual is
+computed on the HOST in true IEEE f64 (the error equation A·e = r), and
+stage reductions compound: s stages reach ~(stage floor)^s, far below
+1e-10.  Same math as the evaluation harness's restarted measurement
+(backend/evaluation.py), with the inner loop fully fused on device.
+
+Each inner stage stops on any of: stage-target hit, stall (no residual
+improvement across a cycle — the f32 floor), iteration cap, divergence.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _l2(state) -> jnp.ndarray:
@@ -35,82 +40,85 @@ def _l2(state) -> jnp.ndarray:
     return jnp.sqrt(total)
 
 
+def _host_l2(state) -> float:
+    return float(np.sqrt(sum(np.sum(np.abs(np.asarray(x)) ** 2) for x in state)))
+
+
 def build_staged_solver(
     step: Callable,
     apply_a32: Callable,
-    apply_a64: Callable,
+    host_residual: Callable,
     shapes: Tuple[tuple, ...],
     target: float = 1e-10,
-    stage_reduction: float = 1e-4,
-    inner_cap: int = 60,
-    max_stages: int = 8,
-    max_cycles: int = 500,
+    stage_reduction: float = 1e-5,
+    inner_cap: int = 100,
+    max_stages: int = 10,
+    stall_ratio: float = 0.9,
 ):
-    """Compile solve(f32_rhs, f64_rhs) -> (cycles, rel_residual, stages).
+    """Returns solve(f32_rhs_dev, f64_rhs_np) -> (cycles, rel_res, stages).
 
     `step(u, f) -> u` is one lowered f32 cycle on field tuples;
-    `apply_a32/apply_a64` apply the finest-level operator at the
-    respective precision.  The returned function is jitted; everything —
-    inner per-cycle residual norms included, matching the reference
-    solvers' per-iteration residual prints — runs on device.
-    """
+    `apply_a32` applies the finest operator in f32 (per-cycle residual
+    norms, matching the reference solvers' per-iteration residual
+    prints); `host_residual(u64_np_tuple) -> r64_np_tuple` computes
+    f − A·u in true host f64."""
 
     @jax.jit
-    def solve(f32_rhs, f64_rhs):
-        r0 = _l2(f64_rhs)
+    def stage(fs):
+        rs0 = _l2(fs)
+        e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
 
-        def outer_cond(carry):
-            _, r64, cycles, stages = carry
+        def cond(c):
+            _, k, rn, prev = c
+            improving = jnp.logical_or(k < 2, rn < stall_ratio * prev)
             return jnp.logical_and(
-                _l2(r64) > target * r0,
-                jnp.logical_and(stages < max_stages, cycles < max_cycles),
+                jnp.logical_and(rn > stage_reduction * rs0, k < inner_cap),
+                jnp.logical_and(jnp.isfinite(rn), improving),
             )
 
-        def outer_body(carry):
-            u64, r64, cycles, stages = carry
-            fs = tuple(x.astype(jnp.float32) for x in r64)
-            rs0 = _l2(fs)
-            e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+        def body(c):
+            e, k, rn, _ = c
+            e = step(e, fs)
+            new_rn = _l2(tuple(f - a for f, a in zip(fs, apply_a32(e))))
+            return e, k + 1, new_rn, rn
 
-            def inner_cond(c):
-                _, k, rn = c
-                return jnp.logical_and(
-                    jnp.logical_and(rn > stage_reduction * rs0, k < inner_cap),
-                    jnp.isfinite(rn),
-                )
-
-            def inner_body(c):
-                e, k, _ = c
-                e = step(e, fs)
-                rn = _l2(tuple(
-                    f - a for f, a in zip(fs, apply_a32(e))
-                ))
-                return e, k + 1, rn
-
-            e, k, _ = jax.lax.while_loop(
-                inner_cond, inner_body, (e0, jnp.int32(0), rs0)
-            )
-            u64 = tuple(u + x.astype(jnp.float64) for u, x in zip(u64, e))
-            r64 = tuple(
-                f - a for f, a in zip(f64_rhs, apply_a64(u64))
-            )
-            return u64, r64, cycles + k, stages + 1
-
-        u64 = tuple(jnp.zeros(s, jnp.float64) for s in shapes)
-        u64, r64, cycles, stages = jax.lax.while_loop(
-            outer_cond, outer_body, (u64, tuple(f64_rhs), jnp.int32(0), jnp.int32(0))
+        e, k, rn, _ = jax.lax.while_loop(
+            cond, body, (e0, jnp.int32(0), rs0, jnp.float32(np.inf))
         )
-        return cycles, _l2(r64) / r0, stages
+        return e, k, rn / rs0
 
-    return solve
+    def solve(f32_rhs, f64_rhs_np):
+        r64 = tuple(np.asarray(x, np.float64) for x in f64_rhs_np)
+        u64 = tuple(np.zeros(s, np.float64) for s in shapes)
+        r0 = _host_l2(r64)
+        cycles = 0
+        stages = 0
+        rel = 1.0
+        while rel > target and stages < max_stages and cycles < 1000:
+            fs = tuple(jnp.asarray(x.astype(np.float32)) for x in r64)
+            e, k, _ = jax.block_until_ready(stage(fs))
+            kk = int(k)
+            if kk == 0:
+                break
+            u64 = tuple(u + np.asarray(x, np.float64) for u, x in zip(u64, e))
+            r64 = host_residual(u64)
+            cycles += kk
+            stages += 1
+            new_rel = _host_l2(r64) / r0
+            if new_rel >= rel:
+                break  # restart no longer improves — true floor reached
+            rel = new_rel
+        return cycles, rel, stages
+
+    return solve, stage
 
 
 def staged_solver_for_expression(
     lowering32,
-    lowering64,
     expression,
     operator,
     problem,
+    generator,
     level=None,
     omegas=None,
     **kwargs,
@@ -119,7 +127,10 @@ def staged_solver_for_expression(
 
     `operator` is the finest-level system operator (from the grammar
     terminals); `omegas` optionally overrides relaxation factors via the
-    ω-parameterized lowering (for gradient-tuned champions)."""
+    ω-parameterized lowering (for gradient-tuned champions); `generator`
+    (a JaxProgramGenerator) provides the exact host-f64 residual
+    (backend/evaluation.py:_host_residual, which handles constant,
+    periodic and variable-coefficient entries)."""
     if omegas is not None:
         pstep, _ = lowering32.lower_parameterized(expression)
         om = jnp.asarray(omegas, dtype=jnp.float32)
@@ -132,9 +143,14 @@ def staged_solver_for_expression(
     def apply_a32(u):
         return lowering32.system_apply(operator, u)
 
-    def apply_a64(u):
-        return lowering64.system_apply(operator, u)
-
-    u0, _ = problem.initial_state(jnp.float32, level=level)
+    u0, f0 = problem.initial_state(jnp.float32, level=level)
     shapes = tuple(x.shape for x in u0)
-    return build_staged_solver(step, apply_a32, apply_a64, shapes, **kwargs)
+    f64_rhs = tuple(np.asarray(x, np.float64) for x in f0)
+
+    def host_residual(u64):
+        return tuple(generator._host_residual(operator, u64, f64_rhs))
+
+    solve, stage = build_staged_solver(
+        step, apply_a32, host_residual, shapes, **kwargs
+    )
+    return solve, f64_rhs

@@ -108,6 +108,7 @@ class Optimizer:
         infinity=1e100,
         individual_cache_size=100000,
         rng: Optional[random.Random] = None,
+        dispatcher=None,
     ):
         self._dimension = dimension
         self._finest_grid = finest_grid
@@ -142,7 +143,11 @@ class Optimizer:
         self._total_number_of_evaluations = 0
         self._total_evaluation_time = 0.0
         self._pset = None
-        self._dispatcher = None  # parallel/dispatch hook
+        # parallel/dispatch hook: ThreadPoolDispatcher (default host
+        # parallelism), or MultiHostDispatcher for jax.distributed
+        # population splitting (the mpi4py-rank analog, reference
+        # program.py:285-310, 495-502).
+        self._dispatcher = dispatcher
 
     @classmethod
     def for_problem(cls, problem, program_generator=None, **kwargs):
@@ -483,6 +488,11 @@ class Optimizer:
             results = [evaluate(ind) for ind in singles]
         for ind, fit in zip(singles, results):
             ind.fitness_values = tuple(fit)
+            # Under a multi-host dispatcher, fitnesses of individuals
+            # evaluated on other hosts arrive via allgather — merge them
+            # into the local cache so every host's cache converges (the
+            # reference's cross-rank cache allgather, program.py:498-502).
+            self.add_individual_to_cache(ind, tuple(fit))
         return len(invalid)
 
     # ---- the (μ+λ) generational engine (reference program.py:455-625) ----

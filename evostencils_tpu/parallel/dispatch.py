@@ -66,6 +66,12 @@ class MultiHostDispatcher:
     jax.distributed.initialize() to have been called by the launcher.
     """
 
+    # Fixed wire width: the allgathered row layout must be identical on
+    # every host regardless of its slice (a host with an empty slice, or
+    # one that only saw 1-objective fitnesses, must still send the same
+    # shape).  Large enough for every fitness arity in the framework.
+    MAX_FITNESS_WIDTH = 4
+
     def __init__(self, inner=None):
         import jax
 
@@ -74,7 +80,6 @@ class MultiHostDispatcher:
         self.inner = inner or ThreadPoolDispatcher()
 
     def map(self, fn: Callable, items: Sequence) -> List:
-        import jax
         import numpy as np
 
         mine = [
@@ -85,20 +90,25 @@ class MultiHostDispatcher:
         local_results = self.inner.map(fn, [item for _, item in mine])
         if self.process_count == 1:
             return local_results
-        # Exchange (index, fitness...) rows via a global all-gather on a
-        # fixed-width float array (fitness tuples are small and numeric).
+        # Exchange (index, arity, fitness...) rows via a global allgather
+        # on a fixed-width float array (fitness tuples are small and
+        # numeric) — the analog of the reference's cross-rank fitness
+        # exchange (program.py:495-502).
         from jax.experimental import multihost_utils
 
-        width = max(len(r) for r in local_results) if local_results else 1
-        rows = np.full((len(items), width + 1), np.nan)
+        width = self.MAX_FITNESS_WIDTH
+        rows = np.full((len(items), width + 2), np.nan)
         for (i, _), fit in zip(mine, local_results):
+            fit = tuple(fit)
             rows[i, 0] = i
-            rows[i, 1 : 1 + len(fit)] = fit
-        gathered = multihost_utils.process_allgather(rows)
+            rows[i, 1] = len(fit)
+            rows[i, 2 : 2 + len(fit)] = fit
+        gathered = np.asarray(multihost_utils.process_allgather(rows))
         results: List = [None] * len(items)
-        for host_rows in gathered.reshape(self.process_count, len(items), width + 1):
+        for host_rows in gathered.reshape(-1, len(items), width + 2):
             for row in host_rows:
                 if not np.isnan(row[0]):
                     idx = int(row[0])
-                    results[idx] = tuple(v for v in row[1:] if not np.isnan(v))
+                    arity = int(row[1])
+                    results[idx] = tuple(row[2 : 2 + arity])
         return results

@@ -79,8 +79,6 @@ def main():
 
     sys.setrecursionlimit(100000)
     import jax
-
-    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
 
@@ -133,26 +131,24 @@ def main():
 
     use_pallas = not args.no_pallas
     lowering32 = CycleLowering(jnp.float32, use_pallas=use_pallas)
-    lowering64 = CycleLowering(jnp.float64, use_pallas=False)
     generator = JaxProgramGenerator(problem, dtype=jnp.float32)
     perf = PerformanceEvaluator()
 
     u0_32, f_32 = problem.initial_state(jnp.float32)
-    f64_rhs = tuple(jnp.asarray(np.asarray(x), jnp.float64) for x in f_32)
 
     rows = []
     for name, expr, omegas in solvers:
         _, rho, _ = generator.generate_and_evaluate(expr, evaluation_samples=1)
 
-        solve = staged_solver_for_expression(
-            lowering32, lowering64, expr, operator, problem,
+        solve, f64_rhs = staged_solver_for_expression(
+            lowering32, expr, operator, problem, generator,
             omegas=omegas, target=args.target,
         )
-        cycles, rel, stages = jax.block_until_ready(solve(f_32, f64_rhs))
+        cycles, rel, stages = solve(f_32, f64_rhs)
         times = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(solve(f_32, f64_rhs))
+            cycles, rel, stages = solve(f_32, f64_rhs)
             times.append(time.perf_counter() - t0)
         times.sort()
         t_min, t_med = times[0], times[len(times) // 2]

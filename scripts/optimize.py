@@ -55,6 +55,11 @@ def main():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--multihost", action="store_true",
+                        help="split the population across jax.distributed "
+                             "processes (launcher must call "
+                             "jax.distributed.initialize; the mpi4py-rank "
+                             "analog, reference program.py:285-310)")
     args = parser.parse_args()
 
     import jax
@@ -89,8 +94,14 @@ def main():
         performance_evaluator = PerformanceEvaluator()
 
     rng = random.Random(args.seed)
+    dispatcher = None
+    if args.multihost:
+        from evostencils_tpu.parallel.dispatch import MultiHostDispatcher
+
+        dispatcher = MultiHostDispatcher()
     optimizer = Optimizer.for_problem(
         problem,
+        dispatcher=dispatcher,
         program_generator=generator,
         convergence_evaluator=convergence_evaluator,
         performance_evaluator=performance_evaluator,
