@@ -146,6 +146,34 @@ class JaxProgramGenerator:
         self.vm_pad_overflows = 0
         self.vm_isa_recompiles = 0
 
+    @property
+    def _param_sig(self):
+        """Hashable PDE-parameter signature: compiled executables are
+        cached per parameter value, so a k-ladder revisiting the same k
+        for every individual reuses its solvers (the reference instead
+        recompiled the generated C++ per k, exastencils.py:269-288)."""
+        return tuple(sorted(
+            (k, v) for k, v in self.problem.parameters.items()
+            if isinstance(v, (int, float, complex))
+        ))
+
+    def _structural_key(self, expression, prefix: str = "solve"):
+        return (
+            prefix,
+            self._param_sig,
+            canonical_string(expression, parameterize_relaxation=True),
+        )
+
+    def _apply_parameter_values(self, values) -> bool:
+        """Switch the problem's PDE parameters; caches stay (keyed by
+        signature)."""
+        changed = any(
+            self.problem.parameters.get(k) != v for k, v in values.items()
+        )
+        if changed:
+            self.problem = self.problem.with_parameters(values)
+        return changed
+
     def vm_stats(self) -> dict:
         total = self.vm_hits + self.vm_misses
         return {
@@ -329,7 +357,7 @@ class JaxProgramGenerator:
         self.vm_misses += 1
         if vm is not None and getattr(vm, "last_failure", None) == "pad_overflow":
             self.vm_pad_overflows += 1
-        key = canonical_string(expression, parameterize_relaxation=True)
+        key = self._structural_key(expression)
         omega_values = [
             float(c.relaxation_factor) for c in collect_cycles(expression)
         ]
@@ -475,12 +503,13 @@ class JaxProgramGenerator:
     # ---- cycle-VM fast path (backend/vm.py) ----
 
     def _vm_for(self, level: int):
-        vm = self._vms.get(level)
+        vm_key = (self._param_sig, level)
+        vm = self._vms.get(vm_key)
         if vm is None:
             from evostencils_tpu.backend.vm import CycleVM
 
             vm = CycleVM(self.lowering, self.problem, level)
-            self._vms[level] = vm
+            self._vms[vm_key] = vm
         return vm
 
     def _vm_program(self, expression):
@@ -506,11 +535,11 @@ class JaxProgramGenerator:
         argument slot as a (opcodes, omegas, length) triple."""
         omega_arg = program.as_arguments()
         level = self._expression_level(expression)
-        key = ("__vm__", level, vm.isa_version)
+        key = ("__vm__", self._param_sig, level, vm.isa_version)
         if key in self._solver_cache:
             return self._solver_cache[key], omega_arg, False
         if any(
-            isinstance(k, tuple) and k[:2] == ("__vm__", level)
+            isinstance(k, tuple) and k[:3] == ("__vm__", self._param_sig, level)
             for k in self._solver_cache
         ):
             # A previous ISA version was already compiled for this level —
@@ -570,22 +599,14 @@ class JaxProgramGenerator:
         Returns a list of (time_to_convergence, ρ, iterations) triples.
         """
         if global_variable_values:
-            changed = any(
-                self.problem.parameters.get(k) != v
-                for k, v in global_variable_values.items()
-            )
-            if changed:
-                self.problem = self.problem.with_parameters(global_variable_values)
-                self._solver_cache.clear()
-                self._vms.clear()
-                self._power_fns.clear()
-                self._vmapped_cache.clear()
+            self._apply_parameter_values(global_variable_values)
         if getattr(self.problem, "outer_solver", None) or getattr(
             self.problem, "uses_fas", False
         ):
             return [
                 self.generate_and_evaluate(
-                    e, infinity=infinity, evaluation_samples=evaluation_samples
+                    e, infinity=infinity, evaluation_samples=evaluation_samples,
+                    global_variable_values=global_variable_values,
                 )
                 for e in expressions
             ]
@@ -593,7 +614,7 @@ class JaxProgramGenerator:
             (stage_solve, power_compiled, operator), _, _ = self._build_solver(
                 expressions[0]
             )
-            key = canonical_string(expressions[0], parameterize_relaxation=True)
+            key = self._structural_key(expressions[0])
             if power_compiled is None or key not in self._power_fns:
                 raise RuntimeError("no batched path")
             omegas_rows = [
@@ -639,7 +660,8 @@ class JaxProgramGenerator:
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return [
                 self.generate_and_evaluate(
-                    e, infinity=infinity, evaluation_samples=evaluation_samples
+                    e, infinity=infinity, evaluation_samples=evaluation_samples,
+                    global_variable_values=global_variable_values,
                 )
                 for e in expressions
             ]
@@ -772,10 +794,9 @@ class JaxProgramGenerator:
         import threading
 
         distinct = {}
+        outer = getattr(self.problem, "outer_solver", None) is not None
         for expression in expressions:
-            key = canonical_string(expression, parameterize_relaxation=True)
-            if getattr(self.problem, "outer_solver", None):
-                key = "outer|" + key
+            key = self._structural_key(expression, "outer" if outer else "solve")
             if key not in self._solver_cache:
                 distinct.setdefault(key, expression)
         if not distinct:
@@ -817,7 +838,7 @@ class JaxProgramGenerator:
         """Helmholtz-style evaluation: the evolved cycle preconditions a
         BiCGStab run on the outer operator (reference exa3
         PreconditionedBiCGStab + exastencils.py:518-535 ladder protocol)."""
-        key = "outer|" + canonical_string(expression, parameterize_relaxation=True)
+        key = self._structural_key(expression, "outer")
         omega_values = [float(c.relaxation_factor) for c in collect_cycles(expression)]
         if key in self._solver_cache:
             return self._solver_cache[key], omega_values, False
@@ -870,17 +891,48 @@ class JaxProgramGenerator:
     ):
         """Returns (time_to_convergence_ms, convergence_factor, iterations)."""
         if global_variable_values:
-            # Rebuild (and drop compiled solvers) only when a parameter
-            # actually changed — the EA passes the current ladder values on
-            # every evaluation.
-            changed = any(
-                self.problem.parameters.get(k) != v
-                for k, v in global_variable_values.items()
-            )
-            if changed:
-                self.problem = self.problem.with_parameters(global_variable_values)
-                self._solver_cache.clear()
-                self._vms.clear()
+            self._apply_parameter_values(global_variable_values)
+            if "k" in global_variable_values and getattr(
+                self.problem, "outer_solver", None
+            ):
+                # The reference's Helmholtz protocol evaluates every
+                # individual across a k-ladder: k, 2k, 4k, averaging the
+                # three measurements (reference exastencils.py:518-535).
+                return self._evaluate_k_ladder(
+                    expression, infinity, evaluation_samples
+                )
+        return self._generate_and_evaluate_measured(
+            expression, infinity, evaluation_samples
+        )
+
+    def _evaluate_k_ladder(self, expression, infinity, evaluation_samples):
+        """k, 2k, 4k ladder with the reference's exact combination rule:
+        arithmetic mean over the three steps; on any failure, return the
+        accumulated sums immediately (reference exastencils.py:518-535 —
+        failure sums keep failures ordered worse than successes)."""
+        base_k = self.problem.parameters["k"]
+        total_t = total_rho = total_it = 0.0
+        try:
+            for i in range(3):
+                t, rho, it = self._generate_and_evaluate_measured(
+                    expression, infinity, evaluation_samples
+                )
+                total_t += t
+                total_rho += rho
+                total_it += it
+                if not math.isfinite(t) or t >= infinity or rho > 1:
+                    return total_t, total_rho, total_it
+                if i < 2:
+                    self._apply_parameter_values(
+                        {"k": self.problem.parameters["k"] * 2.0}
+                    )
+        finally:
+            self._apply_parameter_values({"k": base_k})
+        return total_t / 3.0, total_rho / 3.0, total_it / 3.0
+
+    def _generate_and_evaluate_measured(
+        self, expression, infinity, evaluation_samples
+    ):
         if getattr(self.problem, "outer_solver", None):
             return self._generate_and_evaluate_outer(
                 expression, infinity, evaluation_samples

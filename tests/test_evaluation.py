@@ -255,3 +255,54 @@ class TestDeviceFaultTolerance:
         cycle = jacobi_cycle(t0, f, 0.8, steps=2)
         t, rho, iters = gen.generate_and_evaluate(cycle, infinity=1e100)
         assert gen._consecutive_device_failures == 0
+
+
+class TestKLadderProtocol:
+    """Reference Helmholtz semantics (exastencils.py:518-535): each
+    fitness evaluation sweeps k, 2k, 4k; mean on success, accumulated
+    sums returned immediately on failure; base k restored."""
+
+    def _gen(self):
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d
+
+        problem = helmholtz_2d(min_level=3, max_level=5)
+        return JaxProgramGenerator(problem, dtype=jnp.complex64)
+
+    def test_ladder_success_averages(self, monkeypatch):
+        gen = self._gen()
+        seen = []
+
+        def fake(expression, infinity, evaluation_samples):
+            seen.append(gen.problem.parameters["k"])
+            return (30.0, 0.6, 30)
+
+        monkeypatch.setattr(gen, "_generate_and_evaluate_measured", fake)
+        t, rho, it = gen.generate_and_evaluate(
+            object(), global_variable_values={"k": 80.0}
+        )
+        assert seen == [80.0, 160.0, 320.0]
+        assert (t, rho, it) == (30.0, 0.6, 30.0)
+        assert gen.problem.parameters["k"] == 80.0
+
+    def test_ladder_failure_returns_sums(self, monkeypatch):
+        gen = self._gen()
+        results = iter([(5.0, 0.4, 10), (1e100, 2.0, 500)])
+        monkeypatch.setattr(
+            gen, "_generate_and_evaluate_measured",
+            lambda *a: next(results),
+        )
+        t, rho, it = gen.generate_and_evaluate(
+            object(), global_variable_values={"k": 80.0}
+        )
+        assert t >= 1e100
+        assert rho == pytest.approx(2.4)
+        assert it == 510
+        assert gen.problem.parameters["k"] == 80.0
+
+    def test_parameter_signature_keys_caches(self):
+        gen = self._gen()
+        sig80 = gen._param_sig
+        gen._apply_parameter_values({"k": 160.0})
+        assert gen._param_sig != sig80
+        gen._apply_parameter_values({"k": 80.0})
+        assert gen._param_sig == sig80
