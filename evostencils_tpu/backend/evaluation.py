@@ -856,6 +856,13 @@ class JaxProgramGenerator:
         target = spec["target_reduction"]
         is_f64 = _dtype_is_64bit(self.dtype)
         if not is_f64:
+            # Per-STAGE device target: in f32/complex64 the on-device
+            # residual recurrence floors near 1e-6-1e-7 relative (term
+            # cancellation at the operator's 1/h² scale), so each device
+            # stage solves to 1e-6 and _generate_and_evaluate_outer
+            # restarts from the exact host-f64 residual until the spec's
+            # true target (the reference's 1e-7) is met — stage
+            # reductions compound, so the full target is reached in f32.
             target = max(target, 1e-6)
         max_iterations = spec["max_iterations"]
 
@@ -871,12 +878,16 @@ class JaxProgramGenerator:
                 apply_a, apply_m, f, max_iterations, target
             )
             res0 = sops.l2_norm(f)
-            return jnp.real(res), jnp.real(res0), it
+            x_out = (
+                tuple((jnp.real(v), jnp.imag(v)) for v in x)
+                if self._complex_io else x
+            )
+            return x_out, jnp.real(res), jnp.real(res0), it
 
         solve = jax.jit(self._wrap_complex_io(solve_raw))
         compiled = self._aot_compile(solve, expression, len(omega_values))
-        self._solver_cache[key] = compiled
-        return compiled, omega_values, True
+        self._solver_cache[key] = (compiled, outer_operator)
+        return (compiled, outer_operator), omega_values, True
 
     def generate_and_evaluate(
         self,
@@ -1091,52 +1102,118 @@ class JaxProgramGenerator:
         time_to_convergence = iterations * t_iter_ms
         return time_to_convergence, rho, iterations
 
+    def _host_state_to_args(self, host_state):
+        """Host numpy state -> jit-ready arguments at the solver dtype
+        (complex states become (re, im) pairs under complex I/O mode)."""
+        np_dtype = np.dtype(jnp.dtype(self.dtype))
+        cast = tuple(np.asarray(x).astype(np_dtype) for x in host_state)
+        return self._state_to_realpairs(cast)
+
     def _generate_and_evaluate_outer(self, expression, infinity, evaluation_samples):
-        """Outer-Krylov evaluation: time/iterations of the preconditioned
-        solve; ρ = per-iteration residual contraction of the outer method."""
+        """Outer-Krylov evaluation with host-f64 restarts.
+
+        The device runs preconditioned BiCGStab stages to the
+        f32-reachable stage target (1e-6); between stages the exact
+        residual — complex128/float64 on host — becomes the next
+        right-hand side (error equation), so stage reductions compound to
+        the spec's TRUE target: the reference's 1e-7
+        (2D_FD_Helmholtz_fromL3.exa3) is met in f32 arithmetic.
+        ρ = overall contraction^(1/total iterations); the timed first
+        stage extrapolates to the executed total."""
         try:
             t0 = time.perf_counter()
-            solve, omega_values, newly_compiled = self._build_outer_solver(expression)
-            u0, f = self._initial_state_for(expression)
+            (solve, outer_operator), omega_values, newly_compiled = (
+                self._build_outer_solver(expression)
+            )
+            u0_args, _ = self._initial_state_for(expression)
             omegas = jnp.asarray(omega_values, dtype=jnp.float32)
-            res, res0, it = jax.block_until_ready(solve(u0, f, omegas))
-            # Host transfers can fault independently of the computation on
-            # the development tunnel — keep them inside the guard.
-            it = int(it)
-            res = float(jnp.real(res))
-            res0 = float(jnp.real(res0))
-            self._consecutive_device_failures = 0
-            if newly_compiled:
-                self.compile_time_total += time.perf_counter() - t0
+            spec = self.problem.outer_solver
+            true_target = spec["target_reduction"]
+            max_iterations = spec["max_iterations"]
+
+            is_complex = _dtype_is_complex(self.dtype)
+            np_acc = np.complex128 if is_complex else np.float64
+            u0_host, f_host = self.problem.initial_state(
+                self.dtype, level=self._expression_level(expression), host=True
+            )
+            f64 = tuple(np.asarray(x, np_acc) for x in f_host)
+            res0_true = math.sqrt(
+                sum(float(np.sum(np.abs(x) ** 2)) for x in f64)
+            )
+            if res0_true <= 0.0:
+                return infinity, infinity, infinity
+
+            x_total = tuple(np.zeros(np.asarray(x).shape, np_acc) for x in u0_host)
+            rhs_host = f64
+            total_it = 0
+            it1 = None
+            rel = 1.0
+            for _stage in range(4):
+                rhs_args = self._host_state_to_args(rhs_host)
+                x_pairs, res, res0s, it = jax.block_until_ready(
+                    solve(u0_args, rhs_args, omegas)
+                )
+                it = int(it)
+                res = float(jnp.real(res))
+                res0s = float(jnp.real(res0s))
+                self._consecutive_device_failures = 0
+                if newly_compiled and it1 is None:
+                    self.compile_time_total += time.perf_counter() - t0
+                if it == 0 or not math.isfinite(res) or res0s <= 0.0:
+                    return infinity, infinity, infinity
+                if it1 is None:
+                    it1 = it
+                total_it += it
+                if is_complex and self._complex_io:
+                    x_host = tuple(
+                        np.asarray(r, np.float64) + 1j * np.asarray(i, np.float64)
+                        for r, i in x_pairs
+                    )
+                else:
+                    x_host = tuple(np.asarray(x, np_acc) for x in x_pairs)
+                x_total = tuple(a + b for a, b in zip(x_total, x_host))
+                r_host = self._host_residual(outer_operator, x_total, f64)
+                new_rel = math.sqrt(
+                    sum(float(np.sum(np.abs(x) ** 2)) for x in r_host)
+                ) / res0_true
+                if new_rel <= true_target:
+                    rel = new_rel
+                    break
+                if total_it >= max_iterations or new_rel >= rel:
+                    # Cap breach or restart no longer improves.
+                    rel = min(rel, new_rel)
+                    rho = rel ** (1.0 / total_it)
+                    return infinity, rho if math.isfinite(rho) else infinity, total_it
+                rel = new_rel
+                rhs_host = r_host
         except jax.errors.JaxRuntimeError:
             self._device_failed()
             return infinity, infinity, infinity
         except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
             return infinity, infinity, infinity
 
-        spec = self.problem.outer_solver
-        if it == 0 or not math.isfinite(res) or res <= 0.0 or res0 <= 0.0:
-            return infinity, infinity, infinity
-        if it >= spec["max_iterations"] or res > spec["target_reduction"] * res0 * 10:
-            rho = (res / res0) ** (1.0 / it) if res > 0 else infinity
-            if not math.isfinite(rho):
-                return infinity, infinity, infinity
-            # `it` is the genuinely measured outer-iteration count.
-            return infinity, rho, it
-        rho = (res / res0) ** (1.0 / it)
+        if rel > true_target:
+            rho = rel ** (1.0 / max(total_it, 1))
+            return infinity, rho, total_it
+        rho = rel ** (1.0 / total_it)
+        # Timing: median over samples of the first stage, extrapolated to
+        # the executed total (per-iteration cost is stage-invariant).
+        f_args = self._host_state_to_args(f64)
         times = []
         try:
             for _ in range(max(1, evaluation_samples)):
                 t0 = time.perf_counter()
-                jax.block_until_ready(solve(u0, f, omegas))
+                jax.block_until_ready(solve(u0_args, f_args, omegas))
                 times.append(time.perf_counter() - t0)
         except jax.errors.JaxRuntimeError:
             self._device_failed()
-            return infinity, rho, it
+            return infinity, rho, total_it
         times.sort()
-        time_to_convergence = 1e3 * times[len(times) // 2]
+        time_to_convergence = (
+            1e3 * times[len(times) // 2] * (total_it / max(it1, 1))
+        )
         self.run_time_total += sum(times)
-        return time_to_convergence, rho, it
+        return time_to_convergence, rho, total_it
 
     def evaluate_objectives(self, expression, evaluation_samples=3, infinity=1e100):
         """(ρ, time_per_iteration_ms) — the NSGA-II objective pair."""
