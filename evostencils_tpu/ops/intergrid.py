@@ -12,14 +12,19 @@ exactly the `injection ∘ stencil` factorizations the reference's LFA layer
 uses (reference model_based_prediction/convergence.py:160-163), so the
 executable kernels and the Fourier analysis agree by construction.
 
-On TPU both directions lower to XLA ConvGeneralDilated — restriction is a
-stride-c correlation, prolongation a lhs-dilated (transposed) correlation
-— which the TPU backend executes as dense vector ops.  The equivalent
-strided-slice / scatter formulation is kept as the fallback for complex
-dtypes (TPU convolutions are real-only): stride-2 access along the
-128-lane minor dimension degenerates to lane-granular gathers there,
-~1000× off the roofline (measured 25 ms for one restrict+prolong pair at
-1023² vs ~25 µs via conv).
+TPU execution strategy (measured on v5e at 1023²→511², one
+restrict+prolong round trip):
+
+  * separable stencils (full weighting, multilinear — every default and
+    most evolved transfers): per-axis dense factor matrices contracted
+    on the MXU (`R₀ · x · R₁ᵀ`), ~4 µs — speed of light;
+  * non-separable real stencils: XLA ConvGeneralDilated (stride-c
+    correlation / lhs-dilated transposed correlation), ~2.4 ms — the
+    1×1-channel conv is degenerate for the TPU backend but still ~10×
+    the strided-slice formulation;
+  * complex non-separable: strided slices / scatter (stride-2 access
+    along the 128-lane minor dimension degenerates to lane-granular
+    gathers, ~25 ms — last resort only).
 """
 
 from __future__ import annotations
@@ -28,9 +33,93 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from evostencils_tpu.stencils import constant
 from evostencils_tpu.ops.stencil_ops import apply_constant_stencil, pad_zeros
+
+_factor_cache: dict = {}
+
+
+def _separable_factors(stencil: constant.Stencil, ndim: int):
+    """Per-axis 1D weight vectors whose outer product is the stencil's
+    dense kernel, or None when the stencil is not rank-1 separable.
+    Sequential rank-1 SVD peeling handles any dimensionality."""
+    reach = stencil.max_reach()
+    shape = tuple(2 * r + 1 for r in reach)
+    kernel = np.zeros(shape, dtype=np.complex128)
+    for offset, value in stencil.entries:
+        kernel[tuple(o + r for o, r in zip(offset, reach))] = value
+    factors = []
+    rest = kernel
+    for axis in range(ndim - 1):
+        mat = rest.reshape(rest.shape[0], -1)
+        u, s, vh = np.linalg.svd(mat, full_matrices=False)
+        if s.size > 1 and s[1] > 1e-12 * max(s[0], 1e-300):
+            return None
+        factors.append(u[:, 0] * s[0])
+        rest = vh[0].reshape(rest.shape[1:])
+    factors.append(rest)
+    if all(np.abs(f.imag).max() < 1e-14 for f in factors):
+        factors = [f.real for f in factors]
+    return factors, reach
+
+
+def _restrict_matrix(w, r, m, f, c):
+    """(m × f) axis restriction: coarse i ← Σ_o w[o+r]·fine[c·i + c−1 + o]."""
+    R = np.zeros((m, f), dtype=w.dtype)
+    for o in range(-r, r + 1):
+        for i in range(m):
+            j = c * i + c - 1 + o
+            if 0 <= j < f:
+                R[i, j] = w[o + r]
+    return R
+
+
+def _prolong_matrix(w, r, f, m, c):
+    """(f × m) axis prolongation: fine j ← Σ_i w[c·i + c−1 − j + r]·coarse[i]."""
+    P = np.zeros((f, m), dtype=w.dtype)
+    for i in range(m):
+        for o in range(-r, r + 1):
+            j = c * i + c - 1 + o
+            if 0 <= j < f:
+                P[j, i] = w[r - o] if 0 <= r - o < len(w) else 0.0
+    return P
+
+
+def _axis_matrices(stencil, fine_shape, coarse_shape, coarsening, dtype, kind):
+    key = (kind, stencil.entries, tuple(fine_shape), tuple(coarse_shape),
+           tuple(coarsening), jnp.dtype(dtype).name)
+    if key in _factor_cache:
+        return _factor_cache[key]
+    ndim = len(fine_shape)
+    sep = _separable_factors(stencil, ndim)
+    if sep is None:
+        _factor_cache[key] = None
+        return None
+    factors, reach = sep
+    np_dtype = np.dtype(jnp.dtype(dtype))
+    mats = []
+    for a in range(ndim):
+        w = factors[a].astype(np_dtype)
+        if kind == "restrict":
+            mats.append(_restrict_matrix(
+                w, reach[a], coarse_shape[a], fine_shape[a], coarsening[a]))
+        else:
+            mats.append(_prolong_matrix(
+                w, reach[a], fine_shape[a], coarse_shape[a], coarsening[a]))
+    # Cache NUMPY matrices only: jnp constants created inside a trace are
+    # tracers and must not escape to global state.
+    result = tuple(mats)
+    _factor_cache[key] = result
+    return result
+
+
+def _contract_axes(x: jax.Array, mats) -> jax.Array:
+    """Apply mats[a] along axis a: out = Π_a M_a ×_a x (MXU contractions)."""
+    for a, M in enumerate(mats):
+        x = jnp.moveaxis(jnp.tensordot(jnp.asarray(M), x, axes=(1, a)), 0, a)
+    return x
 
 
 def _stencil_kernel(stencil: constant.Stencil, ndim: int, dtype):
@@ -64,6 +153,11 @@ def restrict(
     coarsening: Tuple[int, ...],
 ) -> jax.Array:
     """coarse[ci] = Σ_o w_o · fine[c·(ci+1)-1 + o] (zero outside interior)."""
+    mats = _axis_matrices(
+        stencil, fine.shape, coarse_shape, coarsening, fine.dtype, "restrict"
+    )
+    if mats is not None:
+        return _contract_axes(fine, mats)
     if _supports_conv(fine):
         ndim = fine.ndim
         kernel, reach = _stencil_kernel(stencil, ndim, fine.dtype)
@@ -115,6 +209,11 @@ def prolong(
     coarsening: Tuple[int, ...],
 ) -> jax.Array:
     """fine = stencil ∘ injection(coarse); multilinear weights interpolate."""
+    mats = _axis_matrices(
+        stencil, fine_shape, coarse.shape, coarsening, coarse.dtype, "prolong"
+    )
+    if mats is not None:
+        return _contract_axes(coarse, mats)
     if _supports_conv(coarse):
         ndim = coarse.ndim
         kernel, reach = _stencil_kernel(stencil, ndim, coarse.dtype)
