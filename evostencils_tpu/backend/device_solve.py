@@ -113,6 +113,125 @@ def build_staged_solver(
     return solve, stage
 
 
+def build_fused_staged_solver(
+    step: Callable,
+    apply_a32: Callable,
+    apply_a64: Callable,
+    host_residual: Callable,
+    shapes: Tuple[tuple, ...],
+    target: float = 1e-10,
+    stage_reduction: float = 1e-5,
+    inner_cap: int = 60,
+    max_stages: int = 8,
+    stall_ratio: float = 0.9,
+):
+    """Fully-fused staged solve: ALL stages in ONE executable.
+
+    Restart residuals are computed on device in XLA-emulated float64
+    (double-single, ~2⁻⁴⁸ mantissa — floors near 1.5e-10 relative at the
+    1/h² operator scale, hence the host verification).  The outer loop
+    stops on target, stage cap, cycle cap, or no inter-stage progress
+    (the emulated-f64 floor).  The host wrapper then verifies against the
+    TRUE IEEE-f64 residual and, if the emulated floor stopped short of
+    the target, polishes with host-restart stages.
+
+    Requires jax_enable_x64 (f64 types must exist on device).
+
+    Returns solve(f32_rhs, f64_rhs_np) -> (cycles, rel_true, stages)."""
+
+    @jax.jit
+    def device_solve(f32_rhs, f64_rhs):
+        r0 = _l2(f64_rhs)
+
+        def inner(fs):
+            rs0 = _l2(fs)
+            e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+
+            def cond(c):
+                _, k, rn, prev = c
+                improving = jnp.logical_or(k < 2, rn < stall_ratio * prev)
+                return jnp.logical_and(
+                    jnp.logical_and(rn > stage_reduction * rs0, k < inner_cap),
+                    jnp.logical_and(jnp.isfinite(rn), improving),
+                )
+
+            def body(c):
+                e, k, rn, _ = c
+                e = step(e, fs)
+                new_rn = _l2(tuple(f - a for f, a in zip(fs, apply_a32(e))))
+                return e, k + 1, new_rn, rn
+
+            e, k, _, _ = jax.lax.while_loop(
+                cond, body, (e0, jnp.int32(0), rs0, jnp.float32(np.inf))
+            )
+            return e, k
+
+        def outer_cond(c):
+            _, r64, cycles, stages, prev_rel = c
+            rel = _l2(r64) / r0
+            return jnp.logical_and(
+                jnp.logical_and(rel > target, rel < prev_rel),
+                jnp.logical_and(stages < max_stages, cycles < 500),
+            )
+
+        def outer_body(c):
+            u64, r64, cycles, stages, _ = c
+            rel = _l2(r64) / r0
+            fs = tuple(x.astype(jnp.float32) for x in r64)
+            e, k = inner(fs)
+            u64 = tuple(u + x.astype(jnp.float64) for u, x in zip(u64, e))
+            r64 = tuple(f - a for f, a in zip(f64_rhs, apply_a64(u64)))
+            return u64, r64, cycles + k, stages + 1, rel
+
+        u0 = tuple(jnp.zeros(s, jnp.float64) for s in shapes)
+        u64, r64, cycles, stages, _ = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (u0, tuple(f64_rhs), jnp.int32(0), jnp.int32(0),
+             jnp.float64(np.inf)),
+        )
+        return u64, cycles, stages
+
+    polish_stage = None
+
+    def solve(f32_rhs, f64_rhs_np):
+        nonlocal polish_stage
+        f64_dev = tuple(jnp.asarray(x, jnp.float64) for x in f64_rhs_np)
+        u64, cycles, stages = jax.block_until_ready(
+            device_solve(f32_rhs, f64_dev)
+        )
+        cycles = int(cycles)
+        stages = int(stages)
+        u_host = tuple(np.asarray(x, np.float64) for x in u64)
+        r_true = host_residual(u_host)
+        r0 = _host_l2(tuple(np.asarray(x, np.float64) for x in f64_rhs_np))
+        rel = _host_l2(r_true) / r0
+        # Host-restart polish: the emulated-f64 device floor (~1.5e-10)
+        # can stop just short of a 1e-10 target.
+        while rel > target and stages < max_stages and cycles < 1000:
+            if polish_stage is None:
+                _, polish_stage = build_staged_solver(
+                    step, apply_a32, host_residual, shapes,
+                    target=target, stage_reduction=stage_reduction,
+                    inner_cap=inner_cap, stall_ratio=stall_ratio,
+                )
+            fs = tuple(jnp.asarray(np.asarray(x, np.float32)) for x in r_true)
+            e, k, _ = jax.block_until_ready(polish_stage(fs))
+            kk = int(k)
+            if kk == 0:
+                break
+            u_host = tuple(u + np.asarray(x, np.float64) for u, x in zip(u_host, e))
+            r_true = host_residual(u_host)
+            cycles += kk
+            stages += 1
+            new_rel = _host_l2(r_true) / r0
+            if new_rel >= rel:
+                break
+            rel = new_rel
+        return cycles, rel, stages
+
+    return solve
+
+
 def staged_solver_for_expression(
     lowering32,
     expression,
@@ -121,6 +240,8 @@ def staged_solver_for_expression(
     generator,
     level=None,
     omegas=None,
+    fused=False,
+    lowering64=None,
     **kwargs,
 ):
     """Wire `build_staged_solver` from a lowered cycle expression.
@@ -149,6 +270,15 @@ def staged_solver_for_expression(
 
     def host_residual(u64):
         return tuple(generator._host_residual(operator, u64, f64_rhs))
+
+    if fused:
+        def apply_a64(u):
+            return (lowering64 or lowering32).system_apply(operator, u)
+
+        solve = build_fused_staged_solver(
+            step, apply_a32, apply_a64, host_residual, shapes, **kwargs
+        )
+        return solve, f64_rhs
 
     solve, stage = build_staged_solver(
         step, apply_a32, host_residual, shapes, **kwargs

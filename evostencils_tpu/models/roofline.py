@@ -201,33 +201,46 @@ class PerformanceEvaluator:
         cached = expression.analysis_cache.get("roofline_runtime")
         if cached is not None:
             return cached
-        result = self._estimate(expression)
+        result = self._estimate(expression, {})
         expression.analysis_cache["roofline_runtime"] = result
         return result
 
-    def _estimate(self, expression):
+    def _walk(self, expression, visited):
+        """Each unique IR node contributes its cost ONCE per cycle
+        application: the lowering computes shared subexpressions once
+        (multiref handling in backend/lowering.py), so repeat references
+        — e.g. the smoothed iterate appearing both as the cycle's
+        approximation and inside its residual — add zero marginal cost.
+        (The reference's memoized-add estimator double-counts these,
+        inflating deep V-cycles ~2× per level.)"""
+        key = id(expression)
+        if key in visited:
+            return 0.0, 0.0
+        visited[key] = True
+        return self._estimate(expression, visited)
+
+    def _estimate(self, expression, visited):
         if isinstance(expression, base.Cycle):
             correction = expression.correction
             if isinstance(correction, base.Residual):
                 operations, words = 0, 0
-                runtime, traffic = self.estimate_runtime_and_traffic(correction)
+                runtime, traffic = self._walk(correction, visited)
             elif isinstance(correction, base.Multiplication):
                 if isinstance(correction.operand1, system.InterGridOperator):
-                    runtime, traffic = self.estimate_runtime_and_traffic(
-                        correction.operand2
-                    )
+                    runtime, traffic = self._walk(correction.operand2, visited)
                     operations, words = self._intergrid_cost(correction.operand1)
                 elif isinstance(correction.operand1, base.Inverse):
                     residual = correction.operand2
-                    runtime, traffic = self._dependency_cost(residual)
+                    visited[id(residual)] = True
+                    runtime, traffic = self._dependency_cost(residual, visited)
                     operations, words = self._smoother_cost(
                         correction.operand1.operand, residual
                     )
                 else:
-                    runtime, traffic = self.estimate_runtime_and_traffic(correction)
+                    runtime, traffic = self._walk(correction, visited)
                     operations, words = 0, 0
             else:
-                runtime, traffic = self.estimate_runtime_and_traffic(correction)
+                runtime, traffic = self._walk(correction, visited)
                 operations, words = 0, 0
             grid = expression.grid
             n_fields = len(grid) if isinstance(grid, list) else 1
@@ -244,7 +257,7 @@ class PerformanceEvaluator:
             return runtime + step, traffic + step_bytes
 
         if isinstance(expression, base.Residual):
-            runtime, traffic = self._dependency_cost(expression)
+            runtime, traffic = self._dependency_cost(expression, visited)
             operations, words = self._residual_cost(expression)
             cells = self._cells(expression.grid)
             return (
@@ -255,9 +268,7 @@ class PerformanceEvaluator:
         if isinstance(expression, base.Multiplication):
             op1 = expression.operand1
             if isinstance(op1, system.InterGridOperator):
-                runtime, traffic = self.estimate_runtime_and_traffic(
-                    expression.operand2
-                )
+                runtime, traffic = self._walk(expression.operand2, visited)
                 operations, words = self._intergrid_cost(op1)
                 cells = self._cells(expression.grid)
                 return (
@@ -267,13 +278,9 @@ class PerformanceEvaluator:
                     + self.compute_bytes(operations, words, operations * cells),
                 )
             if isinstance(op1, base.CoarseGridSolver):
-                runtime, traffic = self.estimate_runtime_and_traffic(
-                    expression.operand2
-                )
+                runtime, traffic = self._walk(expression.operand2, visited)
                 if op1.expression is not None and hasattr(op1.expression, "expression"):
-                    r2, t2 = self.estimate_runtime_and_traffic(
-                        op1.expression.expression
-                    )
+                    r2, t2 = self._walk(op1.expression.expression, visited)
                     runtime += r2
                     traffic += t2
                 elif self.runtime_coarse_grid_solver:
@@ -293,7 +300,8 @@ class PerformanceEvaluator:
                 return runtime, traffic
             if isinstance(op1, base.Inverse):
                 residual = expression.operand2
-                runtime, traffic = self._dependency_cost(residual)
+                visited[id(residual)] = True
+                runtime, traffic = self._dependency_cost(residual, visited)
                 operations, words = self._smoother_cost(op1.operand, residual)
                 cells = self._cells(expression.grid)
                 return (
@@ -310,22 +318,22 @@ class PerformanceEvaluator:
             cells = self._cells(grid)
             ops = n_fields
             words = 3 * n_fields
-            r1, t1 = self.estimate_runtime_and_traffic(expression.operand1)
-            r2, t2 = self.estimate_runtime_and_traffic(expression.operand2)
+            r1, t1 = self._walk(expression.operand1, visited)
+            r2, t2 = self._walk(expression.operand2, visited)
             return (
                 r1 + r2 + self.compute_runtime(ops, words, ops * cells),
                 t1 + t2 + self.compute_bytes(ops, words, ops * cells),
             )
         if isinstance(expression, base.Scaling):
-            return self.estimate_runtime_and_traffic(expression.operand)
+            return self._walk(expression.operand, visited)
         if isinstance(expression, (base.Entity, system.System)):
             return 0.0, 0.0
         raise NotImplementedError(f"Roofline: {type(expression).__name__}")
 
-    def _dependency_cost(self, residual: base.Residual):
+    def _dependency_cost(self, residual: base.Residual, visited):
         runtime, traffic = 0.0, 0.0
         if not isinstance(residual.rhs, system.RightHandSide):
-            r, t = self.estimate_runtime_and_traffic(residual.rhs)
+            r, t = self._walk(residual.rhs, visited)
             runtime += r
             traffic += t
         if not isinstance(residual.approximation, system.Approximation) or isinstance(
@@ -335,7 +343,7 @@ class PerformanceEvaluator:
                 system.Approximation,
                 system.ZeroApproximation,
             ):
-                r, t = self.estimate_runtime_and_traffic(residual.approximation)
+                r, t = self._walk(residual.approximation, visited)
                 runtime += r
                 traffic += t
         return runtime, traffic

@@ -12,8 +12,10 @@ Reported per solver:
   * cycles executed to the 1e-10 relative-residual target,
   * device time-to-target (min/median over repeats, one dispatch each),
   * per-cycle device time (fori-loop differencing: (t(3K)-t(K))/2K),
-  * modeled HBM traffic per cycle (models/roofline.estimate_traffic) and
-    the achieved bandwidth vs the 810 GB/s v5e roofline.
+  * modeled HBM traffic per cycle (models/roofline.estimate_traffic —
+    an unfused upper bound on bytes, so the utilization column is an
+    upper bound too; the fused sweep kernel itself measures ~97% of the
+    3.25-pass roofline, see RESULTS.md) vs the 810 GB/s v5e roofline.
 
 Usage:
   python scripts/headline_1024.py                       # textbook V(2,1)/V(2,2)
@@ -43,19 +45,24 @@ def parse_champion_file(path):
 
 def per_cycle_time(step, u0, f, iters=100):
     """Per-cycle device seconds via fori-loop differencing (removes the
-    tunnel dispatch constant)."""
+    tunnel dispatch constant).  The timed region ends in a SCALAR VALUE
+    FETCH: on the development tunnel, block_until_ready alone can return
+    before remote execution completes — only fetched values are
+    trustworthy timing barriers."""
     import jax
+    import jax.numpy as jnp
 
     def k_loop(n):
         @jax.jit
         def run(u, f):
-            return jax.lax.fori_loop(0, n, lambda i, uu: step(uu, f), u)
+            out = jax.lax.fori_loop(0, n, lambda i, uu: step(uu, f), u)
+            return sum(jnp.sum(x * x) for x in out)
 
-        jax.block_until_ready(run(u0, f))
+        float(run(u0, f))
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(u0, f))
+            float(run(u0, f))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -79,6 +86,10 @@ def main():
 
     sys.setrecursionlimit(100000)
     import jax
+
+    # Emulated f64 on device carries the fused solver's restart residuals
+    # (the final 1e-10 verification runs in true host f64).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
 
@@ -131,6 +142,7 @@ def main():
 
     use_pallas = not args.no_pallas
     lowering32 = CycleLowering(jnp.float32, use_pallas=use_pallas)
+    lowering64 = CycleLowering(jnp.float64, use_pallas=False)
     generator = JaxProgramGenerator(problem, dtype=jnp.float32)
     perf = PerformanceEvaluator()
 
@@ -142,7 +154,8 @@ def main():
 
         solve, f64_rhs = staged_solver_for_expression(
             lowering32, expr, operator, problem, generator,
-            omegas=omegas, target=args.target,
+            omegas=omegas, target=args.target, fused=True,
+            lowering64=lowering64,
         )
         cycles, rel, stages = solve(f_32, f64_rhs)
         times = []

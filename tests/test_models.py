@@ -1,5 +1,7 @@
 """Model-based prediction tests: LFA golden values + roofline sanity."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -210,3 +212,41 @@ class TestModelBasedOptimization:
         rho, runtime = hofs[-1][0].fitness_values
         assert 0 < rho < 1
         assert runtime > 0
+
+
+class TestRooflineCalibration:
+    """The calibrated model must reproduce real-chip per-cycle timings
+    within 2× (VERDICT item 8); measurements are committed by
+    scripts/calibrate_roofline.py."""
+
+    CALIBRATION = os.path.join(
+        os.path.dirname(__file__), "..", "artifacts",
+        "roofline_calibration.json",
+    )
+
+    @pytest.mark.skipif(
+        not os.path.isfile(os.path.abspath(CALIBRATION)),
+        reason="no calibration artifact (run scripts/calibrate_roofline.py on TPU)",
+    )
+    def test_predicted_within_2x_of_measured(self):
+        import json
+
+        with open(os.path.abspath(self.CALIBRATION)) as fh:
+            data = json.load(fh)
+        from evostencils_tpu.models.roofline import (
+            KERNEL_LAUNCH_OVERHEAD_TPU,
+            RED_BLACK_PENALTY_TPU,
+        )
+
+        # The committed constants must match the committed fit.
+        assert RED_BLACK_PENALTY_TPU == pytest.approx(
+            data["red_black_penalty"], rel=1e-6
+        )
+        assert KERNEL_LAUNCH_OVERHEAD_TPU == pytest.approx(
+            data["kernel_launch_overhead_s"], rel=1e-6
+        )
+        for case in data["cases"]:
+            ratio = case["predicted_s"] / case["measured_s"]
+            assert 0.5 <= ratio <= 2.0, (
+                f"{case['case']}: predicted/measured = {ratio:.2f}"
+            )
