@@ -710,8 +710,13 @@ class CycleLowering:
         return u_final
 
     def _eval_cycle(self, node: base.Cycle, ev, omega_lookup=None):
+        # Grammar relaxation factors are np.float64 scalars (np.linspace,
+        # grammar/multigrid.py): coerce to weak Python floats so f32
+        # fields are not upcast under jax_enable_x64.
         omega = (
-            node.relaxation_factor if omega_lookup is None else omega_lookup(node)
+            float(node.relaxation_factor)
+            if omega_lookup is None
+            else omega_lookup(node)
         )
         u0 = ev(node.approximation)
         if not _is_partitioning(node.partitioning, part.Single) and not _is_partitioning(
