@@ -70,3 +70,49 @@ class TestVisualization:
         assert os.path.isfile(path)
         content = open(path).read()
         assert content.startswith("digraph")
+
+
+class TestProfiling:
+    def test_trace_degrades_gracefully(self, tmp_path):
+        import jax.numpy as jnp
+
+        from evostencils_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path / "trace")):
+            x = jnp.ones((8, 8)) * 2.0
+        assert float(x[0, 0]) == 2.0
+
+    def test_evaluation_report_counters(self):
+        import jax.numpy as jnp
+
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.problems.poisson import poisson_2d
+        from evostencils_tpu.utils.profiling import evaluation_report
+
+        gen = JaxProgramGenerator(
+            poisson_2d(min_level=3, max_level=4, dtype=jnp.float64),
+            dtype=jnp.float64,
+        )
+        report = evaluation_report(gen)
+        assert {"compile_time_s", "run_time_s", "vm_hits",
+                "vm_hit_rate"} <= set(report)
+
+    def test_bandwidth_utilization_fields(self):
+        import jax.numpy as jnp
+
+        from evostencils_tpu.grammar.multigrid import generate_primitive_set
+        from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+        from evostencils_tpu.problems.poisson import poisson_2d
+        from evostencils_tpu.utils.profiling import bandwidth_utilization
+
+        problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        _, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, 5, problem.equations,
+            problem.operators, problem.fields, depth=2,
+            maximum_local_system_size=4,
+        )
+        cycle = generate_v_cycle(tl, problem.rhs(), 2, 1)
+        out = bandwidth_utilization(cycle, 1e-3)
+        assert out["modeled_bytes"] > 0
+        assert out["achieved_GBps"] > 0
