@@ -128,6 +128,20 @@ def main():
         tree = gp.parse_tree(tree_string, pset)
         expr, _ = gp.compile_tree(tree, pset)
         name = path.rsplit("/", 1)[-1].replace(".txt", "")
+        if omegas is not None and not args.tune:
+            # Write the stored tuned ω into the expression so BOTH the ρ
+            # measurement and the lowering see them (same order as
+            # tune_relaxation_factors / collect_cycles).
+            from evostencils_tpu.ir.transformations import collect_cycles
+
+            cycles_list = collect_cycles(expr)
+            if len(cycles_list) == len(omegas):
+                for c, w in zip(cycles_list, omegas):
+                    c.relaxation_factor = float(w)
+                omegas = None
+                name += " (tuned ω)"
+            else:
+                name += " (stored ω)"
         if args.tune:
             from evostencils_tpu.optimization.relaxation import (
                 tune_relaxation_factors,
@@ -136,8 +150,6 @@ def main():
             omegas, _ = tune_relaxation_factors(expr, problem, iterations=60)
             omegas = None  # factors are set in place on the expression
             name += " (retuned)"
-        elif omegas is not None:
-            name += " (stored ω)"
         solvers.append((name, expr, omegas))
 
     use_pallas = not args.no_pallas
