@@ -1163,6 +1163,16 @@ class JaxProgramGenerator:
                     return infinity, infinity, infinity
                 if it1 is None:
                     it1 = it
+                    # Device-measured contraction of the first stage's own
+                    # recurrence: stays informative for diverged runs
+                    # (res/res0 > 1 varies across individuals), unlike the
+                    # host rel which clamps at 1 — preserves selection
+                    # pressure among failures (the reference's measured
+                    # per-iteration convergence factors do the same,
+                    # exastencils.py:539-584).
+                    stage1_rho = (
+                        (res / res0s) ** (1.0 / it) if res > 0.0 else infinity
+                    )
                 total_it += it
                 if is_complex and self._complex_io:
                     x_host = tuple(
@@ -1180,9 +1190,12 @@ class JaxProgramGenerator:
                     rel = new_rel
                     break
                 if total_it >= max_iterations or new_rel >= rel:
-                    # Cap breach or restart no longer improves.
+                    # Cap breach or restart no longer improves: report the
+                    # stage-1 measured contraction (host rel clamps at 1
+                    # for diverged runs and would flatten all failures to
+                    # the same fitness).
                     rel = min(rel, new_rel)
-                    rho = rel ** (1.0 / total_it)
+                    rho = max(rel ** (1.0 / total_it), stage1_rho)
                     return infinity, rho if math.isfinite(rho) else infinity, total_it
                 rel = new_rel
                 rhs_host = r_host
