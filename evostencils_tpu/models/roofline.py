@@ -45,6 +45,11 @@ RED_BLACK_PENALTY_TPU = 1.6
 # Fused-kernel fixed cost per stencil pass (pipeline fill + dispatch),
 # dominating for tiny coarse grids.  Fitted alongside the penalty.
 KERNEL_LAUNCH_OVERHEAD_TPU = 2e-6
+# XLA fuses elementwise chains into stencil passes: the executable moves
+# ~this factor fewer HBM words than the reference's unfused per-op count
+# (which the walker mirrors).  Fitted on-chip alongside the other
+# constants (scripts/calibrate_roofline.py).
+XLA_FUSION_FACTOR_TPU = 1.0
 
 
 class PerformanceEvaluator:
@@ -57,6 +62,7 @@ class PerformanceEvaluator:
         red_black_penalty: float = RED_BLACK_PENALTY_TPU,
         kernel_launch_overhead: float = KERNEL_LAUNCH_OVERHEAD_TPU,
         red_black_traffic_factor: float = 3.25 / 3.0,
+        fusion_factor: float = None,
     ):
         self.peak_performance = peak_performance
         self.peak_bandwidth = peak_bandwidth
@@ -70,6 +76,11 @@ class PerformanceEvaluator:
         # halo re-reads (ops/pallas_kernels.py) add ~8% over the 3-pass
         # single-sweep minimum.
         self.red_black_traffic_factor = red_black_traffic_factor
+        # Effective words = counted words / fusion_factor (see
+        # XLA_FUSION_FACTOR_TPU).
+        self.fusion_factor = (
+            fusion_factor if fusion_factor is not None else XLA_FUSION_FACTOR_TPU
+        )
 
     def set_runtime_of_coarse_grid_solver(self, runtime: float):
         self.runtime_coarse_grid_solver = runtime
@@ -85,6 +96,7 @@ class PerformanceEvaluator:
     def compute_runtime(self, operations: float, words: float, total_operations: float) -> float:
         if operations <= 0.0:
             return 0.0
+        words = words / self.fusion_factor
         intensity = self.compute_arithmetic_intensity(operations, words)
         if intensity <= 0.0:
             return 0.0
@@ -101,7 +113,7 @@ class PerformanceEvaluator:
         if operations <= 0.0 or words <= 0.0:
             return 0.0
         cells = total_operations / operations
-        return words * cells * self.bytes_per_word
+        return (words / self.fusion_factor) * cells * self.bytes_per_word
 
     # -- per-node op/word counting ----------------------------------------
 

@@ -124,13 +124,21 @@ def preconditioned_bicgstab(
     rho = dot(r_hat, r)
     res0 = jnp.sqrt(jnp.real(dot(r, r)))
 
+    # Breakdown safety (finite-precision BiCGStab: ρ or ω can collapse,
+    # poisoning the recurrence with NaN): the loop exits on any
+    # non-finite residual and the carry keeps the best-so-far iterate, so
+    # the restarted outer driver (backend/evaluation.py) can continue
+    # from the last good state instead of losing the whole stage.
     def cond(carry):
-        _, r, _, _, it = carry
+        _, r, _, _, it, _, _ = carry
         res = jnp.sqrt(jnp.real(dot(r, r)))
-        return jnp.logical_and(it < max_iterations, res > target_reduction * res0)
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iterations, res > target_reduction * res0),
+            jnp.isfinite(res),
+        )
 
     def body(carry):
-        x, r, p, rho, it = carry
+        x, r, p, rho, it, best_x, best_res = carry
         p_hat = apply_m(p)
         v = apply_a(p_hat)
         alpha = _safe_div(rho, dot(r_hat, v))
@@ -143,10 +151,23 @@ def preconditioned_bicgstab(
         rho_new = dot(r_hat, r)
         beta = _safe_div(rho_new * alpha, rho * omega)
         p = tree_add(r, tree_scale(beta, tree_sub(p, tree_scale(omega, v))))
-        return x, r, p, rho_new, it + 1
+        res = jnp.sqrt(jnp.real(dot(r, r)))
+        improved = jnp.logical_and(jnp.isfinite(res), res < best_res)
+        best_x = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old), x, best_x
+        )
+        best_res = jnp.where(improved, res, best_res)
+        return x, r, p, rho_new, it + 1, best_x, best_res
 
-    x, r, _, _, it = jax.lax.while_loop(cond, body, (x, r, p, rho, jnp.asarray(0)))
-    return x, it, jnp.sqrt(jnp.real(dot(r, r)))
+    x, r, _, _, it, best_x, best_res = jax.lax.while_loop(
+        cond, body, (x, r, p, rho, jnp.asarray(0), x, res0)
+    )
+    res = jnp.sqrt(jnp.real(dot(r, r)))
+    use_last = jnp.logical_and(jnp.isfinite(res), res <= best_res)
+    x = jax.tree_util.tree_map(
+        lambda last, best: jnp.where(use_last, last, best), x, best_x
+    )
+    return x, it, jnp.minimum(jnp.where(jnp.isfinite(res), res, best_res), best_res)
 
 
 SOLVERS = {

@@ -25,18 +25,23 @@ import time
 
 
 def measure_per_cycle(step, u0, f, iters=60):
+    """Fori-loop differencing ending in a SCALAR VALUE FETCH — on the
+    development tunnel, block_until_ready alone can return before remote
+    execution completes; only fetched values are reliable barriers."""
     import jax
+    import jax.numpy as jnp
 
     def k_loop(n):
         @jax.jit
         def run(u, f):
-            return jax.lax.fori_loop(0, n, lambda i, uu: step(uu, f), u)
+            out = jax.lax.fori_loop(0, n, lambda i, uu: step(uu, f), u)
+            return sum(jnp.sum(x * x) for x in out)
 
-        jax.block_until_ready(run(u0, f))
+        float(run(u0, f))
         ts = []
         for _ in range(7):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(u0, f))
+            float(run(u0, f))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -104,33 +109,40 @@ def main():
         lowering = CycleLowering(jnp.float32, use_pallas=True)
         step = lowering.lower(expr)
         u0, f = problem.initial_state(jnp.float32)
-        t = measure_per_cycle(step, u0, f)
+        # Small grids need many more loop iterations: the measurement must
+        # rise above the tunnel's ~ms dispatch jitter.
+        iters = 60 if u0[0].shape[0] > 600 else 800
+        t = measure_per_cycle(step, u0, f, iters=iters)
         measured.append((name, problem, expr, t))
-        print(f"{name}: {1e6 * t:.1f} us/cycle", flush=True)
+        print(f"{name}: {1e6 * t:.2f} us/cycle (iters={iters})", flush=True)
 
-    def model_times(penalty, overhead):
+    def model_times(penalty, overhead, fusion):
         out = []
         for _, _, expr, _ in measured:
             perf = PerformanceEvaluator(
-                red_black_penalty=penalty, kernel_launch_overhead=overhead
+                red_black_penalty=penalty, kernel_launch_overhead=overhead,
+                fusion_factor=fusion,
             )
             invalidate_expression(expr)
             out.append(perf.estimate_runtime(expr))
         return out
 
     best = None
-    for penalty in np.linspace(1.0, 3.0, 21):
-        for overhead in np.linspace(0.0, 3e-5, 31):
-            pred = model_times(float(penalty), float(overhead))
-            err = sum(
-                (np.log(p) - np.log(m[3])) ** 2 for p, m in zip(pred, measured)
-            )
-            if best is None or err < best[0]:
-                best = (err, float(penalty), float(overhead))
-    err, penalty, overhead = best
-    pred = model_times(penalty, overhead)
+    for penalty in np.linspace(1.0, 2.6, 17):
+        for overhead in np.linspace(0.0, 2e-5, 21):
+            for fusion in np.linspace(1.0, 4.0, 13):
+                pred = model_times(float(penalty), float(overhead), float(fusion))
+                err = sum(
+                    (np.log(p) - np.log(m[3])) ** 2
+                    for p, m in zip(pred, measured)
+                )
+                if best is None or err < best[0]:
+                    best = (err, float(penalty), float(overhead), float(fusion))
+    err, penalty, overhead, fusion = best
+    pred = model_times(penalty, overhead, fusion)
     print(f"\nfit: red_black_penalty={penalty:.3f}, "
           f"kernel_launch_overhead={overhead * 1e6:.1f} us, "
+          f"fusion_factor={fusion:.2f}, "
           f"log-rmse={np.sqrt(err / len(measured)):.3f}")
     rows = []
     for (name, _, _, t), p in zip(measured, pred):
@@ -143,6 +155,7 @@ def main():
         "device": "tpu-v5e (axon tunnel)",
         "red_black_penalty": penalty,
         "kernel_launch_overhead_s": overhead,
+        "fusion_factor": fusion,
         "log_rmse": float(np.sqrt(err / len(measured))),
         "cases": rows,
     }

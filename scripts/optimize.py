@@ -55,6 +55,12 @@ def main():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--no-outer", action="store_true",
+                        help="strip the problem's outer Krylov driver and "
+                             "evolve on the inner (preconditioner) system "
+                             "directly — e.g. design the shifted-Laplace "
+                             "cycle on M, then evaluate champions inside "
+                             "PreconditionedBiCGStab separately")
     parser.add_argument("--multihost", action="store_true",
                         help="split the population across jax.distributed "
                              "processes (launcher must call "
@@ -81,6 +87,8 @@ def main():
         )
     else:
         problem = build_named_problem(args.problem, args.min_level, args.max_level)
+    if args.no_outer and getattr(problem, "outer_solver", None):
+        problem = problem._clone(outer_solver=None)
     output_dir = args.output or f"results_{problem.name}"
     os.makedirs(output_dir, exist_ok=True)
 
