@@ -36,20 +36,20 @@ from evostencils_tpu.stencils import periodic
 
 TPU_V5E_PEAK_F32_FLOPS = 3.9e12
 TPU_V5E_HBM_BANDWIDTH = 8.1e11
-# Fitted on TPU v5e (scripts/calibrate_roofline.py): red-black smoothing
-# costs ~this factor over the single-sweep roofline point — the fused
-# Pallas kernel recomputes the residual per color but keeps u VMEM-
-# resident, so the penalty is traffic-mild (≈3.25/3 array passes) plus
-# the second color's VPU pass.
-RED_BLACK_PENALTY_TPU = 1.6
-# Fused-kernel fixed cost per stencil pass (pipeline fill + dispatch),
-# dominating for tiny coarse grids.  Fitted alongside the penalty.
-KERNEL_LAUNCH_OVERHEAD_TPU = 2e-6
+# Fitted on TPU v5e (scripts/calibrate_roofline.py, log-rmse 0.20 over 8
+# measured cycles at 511²/1023²): red-black smoothing costs ~this factor
+# over the single-sweep roofline point — strikingly close to the
+# reference's CPU-fitted 1.4303 (performance.py:93-94).
+RED_BLACK_PENALTY_TPU = 1.4
+# Fused-kernel fixed cost per stencil pass (pipeline fill + dispatch).
+# The fit drives this to zero: per-kernel overheads on the devices are
+# below the measurement floor once loops fuse.
+KERNEL_LAUNCH_OVERHEAD_TPU = 0.0
 # XLA fuses elementwise chains into stencil passes: the executable moves
 # ~this factor fewer HBM words than the reference's unfused per-op count
 # (which the walker mirrors).  Fitted on-chip alongside the other
 # constants (scripts/calibrate_roofline.py).
-XLA_FUSION_FACTOR_TPU = 1.0
+XLA_FUSION_FACTOR_TPU = 4.0
 
 
 class PerformanceEvaluator:

@@ -168,9 +168,11 @@ class TestRoofline:
 
     def test_bandwidth_bound_regime(self):
         perf = PerformanceEvaluator()
-        # 5-point stencil: AI ≈ 9 flops / (7 words · 4 B) « ridge point
+        # 5-point stencil: AI ≈ 9 flops / (7 words · 4 B) « ridge point;
+        # effective words are divided by the calibrated fusion factor.
         runtime = perf.compute_runtime(9, 7, 9 * 1024 * 1024)
-        expected = 9 * 1024 * 1024 / (9 / (7 * 4) * perf.peak_bandwidth)
+        w_eff = 7 / perf.fusion_factor
+        expected = 9 * 1024 * 1024 / (9 / (w_eff * 4) * perf.peak_bandwidth)
         assert runtime == pytest.approx(expected + perf.kernel_launch_overhead)
 
 
