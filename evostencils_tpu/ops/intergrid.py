@@ -116,9 +116,19 @@ def _axis_matrices(stencil, fine_shape, coarse_shape, coarsening, dtype, kind):
 
 
 def _contract_axes(x: jax.Array, mats) -> jax.Array:
-    """Apply mats[a] along axis a: out = Π_a M_a ×_a x (MXU contractions)."""
+    """Apply mats[a] along axis a: out = Π_a M_a ×_a x (MXU contractions).
+
+    Precision.HIGHEST forces true-f32 multiplication (the TPU MXU's
+    default f32 matmul rounds inputs to bf16, ~7e-3 transfer error);
+    transfers remain a negligible share of cycle time."""
     for a, M in enumerate(mats):
-        x = jnp.moveaxis(jnp.tensordot(jnp.asarray(M), x, axes=(1, a)), 0, a)
+        x = jnp.moveaxis(
+            jnp.tensordot(
+                jnp.asarray(M), x, axes=(1, a),
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            0, a,
+        )
     return x
 
 
@@ -177,6 +187,7 @@ def restrict(
             padding=padding,
             dimension_numbers=_conv_dnums(ndim),
             preferred_element_type=fine.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[0, 0]
     reach = stencil.max_reach()
@@ -236,6 +247,7 @@ def prolong(
             lhs_dilation=coarsening,
             dimension_numbers=_conv_dnums(ndim),
             preferred_element_type=coarse.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[0, 0]
     injected = inject_to_fine(coarse, fine_shape, coarsening)
