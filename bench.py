@@ -46,6 +46,19 @@ def main():
     from evostencils_tpu.grammar.multigrid import generate_primitive_set
     from evostencils_tpu.problems.poisson import poisson_2d
 
+    # Optional multi-chip mesh: `python bench.py --mesh 2,4` shards every
+    # evaluation over a (dp, sp) device mesh (the driver's default bench
+    # run stays single-chip).
+    import sys
+
+    mesh = None
+    if "--mesh" in sys.argv:
+        from evostencils_tpu.parallel.mesh import build_mesh
+
+        dp, sp = (int(x) for x in
+                  sys.argv[sys.argv.index("--mesh") + 1].split(","))
+        mesh = build_mesh(dp * sp, dp=dp)
+
     problem = poisson_2d(min_level=5, max_level=9, dtype=jnp.float32)
     pset, _ = generate_primitive_set(
         problem.approximation(),
@@ -59,7 +72,9 @@ def main():
         depth=4,
         maximum_local_system_size=8,
     )
-    generator = JaxProgramGenerator(problem, dtype=jnp.float32, iteration_limit=500)
+    generator = JaxProgramGenerator(
+        problem, dtype=jnp.float32, iteration_limit=500, mesh=mesh
+    )
 
     rng = random.Random(20260816)
     n_individuals = 16
@@ -86,6 +101,24 @@ def main():
     converged = sum(1 for _, rho, _ in results if rho < 1.0)
     best_rho = min(rho for _, rho, _ in results)
 
+    # Certify on-device kernel numerics in the same run that reports
+    # throughput (round-2 weakness: tpu_smoke.py was manual-only, so a
+    # hardware numerics regression would ship silently).
+    smoke = {"ran": False}
+    if jax.devices()[0].platform == "tpu":
+        try:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from tpu_smoke import run_smoke
+
+            smoke_failures = run_smoke(verbose=False)
+            smoke = {"ran": True, "ok": not smoke_failures,
+                     "failures": smoke_failures}
+        except Exception as e:  # never let the certification kill the bench
+            smoke = {"ran": False, "error": repr(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -103,6 +136,7 @@ def main():
                     # cycle-VM path (robustness: VM-path individuals don't
                     # pay the ~4-5 s/structure tunnel compile).
                     "vm_stats": generator.vm_stats(),
+                    "tpu_smoke": smoke,
                 },
             }
         )

@@ -60,14 +60,25 @@ class NonlinearStencilGenerator:
 
 
 class CycleLowering:
-    def __init__(self, dtype=jnp.float32, use_pallas: bool | None = None):
+    def __init__(self, dtype=jnp.float32, use_pallas: bool | None = None,
+                 mesh=None):
         self.dtype = dtype
+        self.mesh = mesh
         # Pallas fused kernels: auto-enabled on TPU; forceable for tests
         # (interpret mode on CPU).
         if use_pallas is None:
             import jax
 
             use_pallas = jax.default_backend() == "tpu"
+        if mesh is not None:
+            # EXPLICIT multi-chip policy: the fused Pallas kernels address
+            # the full unsharded array, so under a device mesh we lower
+            # through the jnp pad+shift path instead — every stencil sum is
+            # then visible to XLA's SPMD partitioner, which inserts the
+            # halo collective-permutes over ICI itself (parallel/mesh.py).
+            # shard_mapping the Pallas kernel (manual halo exchange) is the
+            # possible future upgrade; silently gathering is never.
+            use_pallas = False
         self.use_pallas = use_pallas
         self._dense_specs = {}
         self._block_specs = {}

@@ -60,6 +60,14 @@ from evostencils_tpu.ops import krylov as krylov_ops
 from evostencils_tpu.ops import stencil_ops as sops
 
 PROGRAM_PAD = 64
+# Programs are padded to the smallest class that fits; the interpreter is
+# jit-compiled per padded shape (jax's signature cache), so all programs in
+# one class share one executable and the common ≤64-instruction population
+# never pays for the rare deep/size-150 tree (grammar cap: gp.py gen_grow
+# regenerates >150-node trees, reference grammar/gp.py:46-52).  The largest
+# class bounds every legal tree: each grammar production emits at most two
+# instructions, so 150 nodes can never exceed 320 instructions.
+PAD_CLASSES = (PROGRAM_PAD, 160, 320)
 
 
 class Program(NamedTuple):
@@ -279,11 +287,12 @@ class CycleVM:
         if not instrs:
             self.last_failure = "not_translatable"
             return None
-        if len(instrs) > PROGRAM_PAD:
+        pad = next((p for p in PAD_CLASSES if len(instrs) <= p), None)
+        if pad is None:
             self.last_failure = "pad_overflow"
             return None
-        opcodes = np.zeros((PROGRAM_PAD,), dtype=np.int32)
-        omegas = np.ones((PROGRAM_PAD,), dtype=np.float32)
+        opcodes = np.zeros((pad,), dtype=np.int32)
+        omegas = np.ones((pad,), dtype=np.float32)
         for i, (op, w) in enumerate(instrs):
             opcodes[i] = op
             omegas[i] = w

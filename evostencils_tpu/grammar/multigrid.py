@@ -603,3 +603,59 @@ def generate_primitive_set(
         terminal_list.append(terminals)
 
     return pset, terminal_list
+
+
+def textbook_cycle_string(
+    terminal_list,
+    pre_smoothing=2,
+    post_smoothing=1,
+    omega_index=18,
+    cgc_omega_index=18,
+    partitioning_name="red_black",
+    smoother_name="collective_jacobi",
+) -> str:
+    """Grammar STRING of the textbook V(pre, post) cycle over the full
+    hierarchy — the derivation the grammar itself would need to discover.
+
+    Used to SEED evolutionary runs with known-good shapes (the reference's
+    Helmholtz result started from huge random populations on an MPI
+    cluster, μ=λ=128×150, reference optimization/program.py:770; seeding
+    recovers that head start at single-chip budgets).  `omega_index`
+    indexes the rf_i grid np.linspace(0.1, 1.9, 37): ω = 0.1 + 0.05·i.
+    """
+    depth = len(terminal_list)
+
+    def rec(d, state, is_correction_state):
+        t = terminal_list[d]
+        p_name = t.prolongation_operators[0].name
+        r_name = t.restriction_operators[0].name
+        c_state = is_correction_state
+        for _ in range(pre_smoothing):
+            if not c_state:
+                state = f"residual_{d}({state})"
+            state = (
+                f"{smoother_name}_{d}(rf_{omega_index},{partitioning_name},{state})"
+            )
+            c_state = False
+        if not c_state:
+            state = f"residual_{d}({state})"
+        if d == depth - 1:
+            state = (
+                f"correct_with_coarse_grid_solver_{d}(rf_{cgc_omega_index},"
+                f"{p_name},CGS_{d + 1},{r_name},{state})"
+            )
+        else:
+            coarse = f"coarsening_{d}(A_{d + 1},zero_{d + 1},{r_name},{state})"
+            coarse_solved = rec(d + 1, coarse, True)
+            state = (
+                f"update_with_coarse_grid_correction_{d}(rf_{cgc_omega_index},"
+                f"{p_name},{coarse_solved})"
+            )
+        for _ in range(post_smoothing):
+            state = (
+                f"{smoother_name}_{d}(rf_{omega_index},{partitioning_name},"
+                f"residual_{d}({state}))"
+            )
+        return state
+
+    return rec(0, "u_and_f", False)

@@ -36,11 +36,12 @@ from evostencils_tpu.stencils import periodic
 
 TPU_V5E_PEAK_F32_FLOPS = 3.9e12
 TPU_V5E_HBM_BANDWIDTH = 8.1e11
-# Fitted on TPU v5e (scripts/calibrate_roofline.py, log-rmse 0.20 over 8
-# measured cycles at 511²/1023²): red-black smoothing costs ~this factor
-# over the single-sweep roofline point — strikingly close to the
-# reference's CPU-fitted 1.4303 (performance.py:93-94).
-RED_BLACK_PENALTY_TPU = 1.4
+# Fitted on TPU v5e (scripts/calibrate_roofline.py, log-rmse 0.13 over 8
+# measured cycles at 511²/1023², exact-f32 transfer default): red-black
+# smoothing costs ~this factor over the single-sweep roofline point (the
+# reference's CPU fit was 1.4303, performance.py:93-94; the fused Pallas
+# kernel brings the TPU penalty close to the pure traffic ratio).
+RED_BLACK_PENALTY_TPU = 1.1
 # Fused-kernel fixed cost per stencil pass (pipeline fill + dispatch).
 # The fit drives this to zero: per-kernel overheads on the devices are
 # below the measurement floor once loops fuse.
@@ -49,7 +50,18 @@ KERNEL_LAUNCH_OVERHEAD_TPU = 0.0
 # ~this factor fewer HBM words than the reference's unfused per-op count
 # (which the walker mirrors).  Fitted on-chip alongside the other
 # constants (scripts/calibrate_roofline.py).
-XLA_FUSION_FACTOR_TPU = 4.0
+XLA_FUSION_FACTOR_TPU = 3.5
+# Single-partitioned (plain Jacobi) smoothing steps fuse residual + scale +
+# update into ONE full-grid pass with no color masking or halo re-reads, so
+# XLA moves fewer words than on the red-black path.  Fitted on-chip as a
+# separate stage over the jacobi calibration cases (round-2 weakness: the
+# shared factor over-predicted V(2,2)_jacobi_512 by 1.57×).
+SINGLE_SWEEP_FUSION_TPU = 4.25
+# Intergrid transfers run as exact-f32 MXU contractions (3 bf16-product
+# passes per matmul, Precision.HIGHEST — ops/intergrid.py): their real cost
+# exceeds the plain word count the walker mirrors.  Fitted on-chip from the
+# V-cycle calibration cases (scripts/calibrate_roofline.py).
+INTERGRID_FACTOR_TPU = 4.0
 
 
 class PerformanceEvaluator:
@@ -63,6 +75,8 @@ class PerformanceEvaluator:
         kernel_launch_overhead: float = KERNEL_LAUNCH_OVERHEAD_TPU,
         red_black_traffic_factor: float = 3.25 / 3.0,
         fusion_factor: float = None,
+        single_sweep_fusion: float = None,
+        intergrid_factor: float = None,
     ):
         self.peak_performance = peak_performance
         self.peak_bandwidth = peak_bandwidth
@@ -80,6 +94,20 @@ class PerformanceEvaluator:
         # XLA_FUSION_FACTOR_TPU).
         self.fusion_factor = (
             fusion_factor if fusion_factor is not None else XLA_FUSION_FACTOR_TPU
+        )
+        # Extra word-fusion of single-partitioned smoothing sweeps (see
+        # SINGLE_SWEEP_FUSION_TPU).
+        self.single_sweep_fusion = (
+            single_sweep_fusion
+            if single_sweep_fusion is not None
+            else SINGLE_SWEEP_FUSION_TPU
+        )
+        # Runtime multiplier of intergrid-transfer passes (exact-f32 MXU
+        # contraction cost; see INTERGRID_FACTOR_TPU).
+        self.intergrid_factor = (
+            intergrid_factor
+            if intergrid_factor is not None
+            else INTERGRID_FACTOR_TPU
         )
 
     def set_runtime_of_coarse_grid_solver(self, runtime: float):
@@ -234,6 +262,8 @@ class PerformanceEvaluator:
     def _estimate(self, expression, visited):
         if isinstance(expression, base.Cycle):
             correction = expression.correction
+            is_smoothing = False
+            ig_pair = None
             if isinstance(correction, base.Residual):
                 operations, words = 0, 0
                 runtime, traffic = self._walk(correction, visited)
@@ -241,7 +271,9 @@ class PerformanceEvaluator:
                 if isinstance(correction.operand1, system.InterGridOperator):
                     runtime, traffic = self._walk(correction.operand2, visited)
                     operations, words = self._intergrid_cost(correction.operand1)
+                    ig_pair = (operations, words)
                 elif isinstance(correction.operand1, base.Inverse):
+                    is_smoothing = True
                     residual = correction.operand2
                     visited[id(residual)] = True
                     runtime, traffic = self._dependency_cost(residual, visited)
@@ -258,12 +290,25 @@ class PerformanceEvaluator:
             n_fields = len(grid) if isinstance(grid, list) else 1
             operations += 2 * n_fields  # scale + add of the update
             words += 2 * n_fields  # load + store of the iterate
+            is_red_black = expression.partitioning is partitioning.RedBlack or (
+                isinstance(expression.partitioning, partitioning.RedBlack)
+            )
+            if is_smoothing and not is_red_black:
+                # Plain-Jacobi sweeps fuse residual+scale+update into one
+                # unmasked full-grid pass: fewer HBM words than red-black
+                # (see SINGLE_SWEEP_FUSION_TPU).
+                words = words / self.single_sweep_fusion
             cells = self._cells(expression.grid)
             step = self.compute_runtime(operations, words, operations * cells)
             step_bytes = self.compute_bytes(operations, words, operations * cells)
-            if expression.partitioning is partitioning.RedBlack or isinstance(
-                expression.partitioning, partitioning.RedBlack
-            ):
+            if ig_pair is not None and self.intergrid_factor != 1.0:
+                # Surcharge only the transfer part of the pass (the exact-
+                # f32 MXU contraction cost; see INTERGRID_FACTOR_TPU).
+                ig_ops, ig_words = ig_pair
+                step += (self.intergrid_factor - 1.0) * self.compute_runtime(
+                    ig_ops, ig_words, ig_ops * cells
+                )
+            if is_red_black:
                 step *= self.red_black_penalty
                 step_bytes *= self.red_black_traffic_factor
             return runtime + step, traffic + step_bytes
@@ -285,7 +330,8 @@ class PerformanceEvaluator:
                 cells = self._cells(expression.grid)
                 return (
                     runtime
-                    + self.compute_runtime(operations, words, operations * cells),
+                    + self.intergrid_factor
+                    * self.compute_runtime(operations, words, operations * cells),
                     traffic
                     + self.compute_bytes(operations, words, operations * cells),
                 )

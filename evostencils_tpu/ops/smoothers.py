@@ -79,6 +79,15 @@ def collective_jacobi_apply_variable(
     return tuple(out)
 
 
+def _shift(r: jax.Array, d: Tuple[int, ...]) -> jax.Array:
+    """out[x] = r[x + d], zero-filled outside the array."""
+    if all(da == 0 for da in d):
+        return r
+    src = tuple(slice(max(da, 0), n + min(da, 0)) for da, n in zip(d, r.shape))
+    pads = [(max(-da, 0), max(da, 0)) for da in d]
+    return jnp.pad(r[src], pads)
+
+
 class BlockSolveSpec:
     """Precomputed data for a collective block-Jacobi local solve.
 
@@ -86,7 +95,18 @@ class BlockSolveSpec:
     (elementwise lcm of all per-field block shapes).  The local matrix L
     couples all fields × period cells; rows of padded cells are identity.
     `inv_l` is L^{-1} (numpy, computed once at lowering time).
-    """
+
+    Runtime formulation: L^{-1} is itself a PERIODIC operator (identical
+    blocks tile the grid), so its application is a sum of full-array
+    shifts weighted by period-tiled coefficient planes:
+
+        out_i[x] = Σ_j Σ_d  C_{ijd}[x mod period] · r_j[x + d]
+
+    — pure fused elementwise ops, no lane-crossing transposes.  The
+    gather/scatter formulation (``apply_matmul``) reshapes the 128-lane
+    minor dimension per block and measures >10× slower on TPU at 1023²
+    (the same pathology the intergrid transfers had before the MXU matmul
+    rework, RESULTS.md round 2)."""
 
     def __init__(self, period: Tuple[int, ...], n_fields: int, inv_l: np.ndarray, dtype):
         self.period = period
@@ -94,8 +114,101 @@ class BlockSolveSpec:
         # numpy, not jnp: the spec is cached across jit traces.
         self.inv_l = np.asarray(inv_l, dtype=np.dtype(jnp.dtype(dtype)))
         self.block_dofs = int(np.prod(period))
+        self._build_shift_planes()
+
+    def _build_shift_planes(self):
+        """Group L^{-1} entries by inter-field pair and displacement d:
+        planes[(i, j)][d] is a `period`-shaped coefficient array."""
+        period = self.period
+        cells = list(np.ndindex(*period))
+        cell_index = {c: k for k, c in enumerate(cells)}
+        nc = len(cells)
+        self.shift_planes = {}
+        for i in range(self.n_fields):
+            for j in range(self.n_fields):
+                by_d = {}
+                for alpha in cells:
+                    for beta in cells:
+                        v = self.inv_l[i * nc + cell_index[alpha],
+                                       j * nc + cell_index[beta]]
+                        if v == 0:
+                            continue
+                        d = tuple(b - a for a, b in zip(alpha, beta))
+                        plane = by_d.get(d)
+                        if plane is None:
+                            plane = np.zeros(period, dtype=self.inv_l.dtype)
+                            by_d[d] = plane
+                        plane[alpha] = v
+                if by_d:
+                    self.shift_planes[(i, j)] = by_d
+
+    def _periodic_plane(self, plane: np.ndarray, shape) -> jax.Array:
+        """Full-shape array with value plane[x mod period] — built as a
+        fused iota+select chain (a jnp.tile of a 2-D-periodic plane
+        materializes through an XLA tiling-unfriendly reshape and costs
+        milliseconds at 1023²; the select chain fuses to nothing)."""
+        period = self.period
+        mods = [
+            jax.lax.broadcasted_iota(jnp.int32, shape, a) % p if p > 1 else None
+            for a, p in enumerate(period)
+        ]
+        acc = jnp.zeros(shape, dtype=self.inv_l.dtype)
+        for alpha in np.ndindex(*period):
+            v = plane[alpha]
+            if v == 0:
+                continue
+            mask = None
+            for a, (ai, m) in enumerate(zip(alpha, mods)):
+                if m is None:
+                    continue
+                cond = m == ai
+                mask = cond if mask is None else jnp.logical_and(mask, cond)
+            coeff = complex(v)
+            if coeff.imag == 0.0:
+                coeff = coeff.real
+            acc = acc + coeff * mask.astype(acc.dtype) if mask is not None else (
+                acc + coeff * jnp.ones(shape, dtype=acc.dtype)
+            )
+        return acc
 
     def apply(self, r_fields: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
+        """Dispatch on block orientation (measured at 1023² f32 on v5e):
+        a minor-axis-trivial period keeps the matmul pack/unpack out of
+        the 128-lane dimension (9 µs for (8,1) vs 57 µs masked); any
+        lane-direction period makes the pack lane-granular and the masked
+        shifts win 4-47× ((2,2): 27 µs vs 1263 µs)."""
+        if self.period[-1] == 1:
+            return self.apply_matmul(r_fields)
+        return self.apply_masked(r_fields)
+
+    def apply_masked(self, r_fields: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
+        shape = r_fields[0].shape
+        out = []
+        for i in range(self.n_fields):
+            acc = None
+            for j in range(self.n_fields):
+                by_d = self.shift_planes.get((i, j))
+                if not by_d:
+                    continue
+                for d, plane in by_d.items():
+                    vals = plane[plane != 0]
+                    if vals.size and np.all(vals == vals.flat[0]) and not np.any(
+                        plane == 0
+                    ):
+                        # Uniform plane: scalar weight, no masking at all.
+                        coeff = complex(vals.flat[0])
+                        if coeff.imag == 0.0:
+                            coeff = coeff.real
+                        term = coeff * _shift(r_fields[j], d)
+                    else:
+                        term = self._periodic_plane(plane, shape) * _shift(
+                            r_fields[j], d
+                        )
+                    acc = term if acc is None else acc + term
+            out.append(acc if acc is not None else jnp.zeros_like(r_fields[i]))
+        return tuple(out)
+
+    def apply_matmul(self, r_fields: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
         period = self.period
         shape = r_fields[0].shape
         dim = len(shape)

@@ -521,6 +521,7 @@ class Optimizer:
         use_random_search: bool,
         solver_program: str = "",
         verbose: bool = True,
+        seed_individuals=None,
     ):
         mstats.register("avg", np.mean)
         mstats.register("std", np.std)
@@ -548,6 +549,15 @@ class Optimizer:
             logbooks.extend(checkpoint.logbooks)
         else:
             population = self._population(initial_population_size)
+            # Seed known-good shapes (grammar strings) into the initial
+            # population: they compete from generation 0 and their subtrees
+            # spread through crossover (reference-scale random search,
+            # μ=λ=128×150, is what they substitute for).
+            for s in seed_individuals or []:
+                try:
+                    population.insert(0, gp.parse_tree(s, self._pset))
+                except (KeyError, ValueError, RuntimeError) as e:
+                    print(f"Seed individual rejected: {e}", flush=True)
             min_generation = 0
             logbook = Logbook()
             logbooks.append(logbook)
@@ -813,6 +823,7 @@ class Optimizer:
         pde_parameter_values=None,
         checkpoint_frequency=2,
         verbose=False,
+        seed_individuals=None,
     ):
         if pde_parameter_values is None:
             pde_parameter_values = {}
@@ -943,6 +954,11 @@ class Optimizer:
                 use_random_search=use_random_search,
                 solver_program=solver_program,
                 verbose=verbose,
+                # Seeds are authored against the full-depth grammar; only
+                # single-run optimizations can consume them.
+                seed_individuals=(
+                    seed_individuals if levels_per_run >= levels else None
+                ),
             )
 
             def scalar_time(ind):

@@ -96,53 +96,91 @@ def build_cases():
 
 def main():
     sys.setrecursionlimit(100000)
-    import jax.numpy as jnp
     import numpy as np
 
-    from evostencils_tpu.backend.lowering import CycleLowering
     from evostencils_tpu.ir.transformations import invalidate_expression
     from evostencils_tpu.models.roofline import PerformanceEvaluator
 
+    refit = "--refit" in sys.argv
     cases = build_cases()
     measured = []
-    for name, problem, expr in cases:
-        lowering = CycleLowering(jnp.float32, use_pallas=True)
-        step = lowering.lower(expr)
-        u0, f = problem.initial_state(jnp.float32)
-        # Small grids need many more loop iterations: the measurement must
-        # rise above the tunnel's ~ms dispatch jitter.
-        iters = 60 if u0[0].shape[0] > 600 else 800
-        t = measure_per_cycle(step, u0, f, iters=iters)
-        measured.append((name, problem, expr, t))
-        print(f"{name}: {1e6 * t:.2f} us/cycle (iters={iters})", flush=True)
+    if refit:
+        # Refit the model constants against the measurements already in the
+        # committed artifact — no TPU needed.
+        path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                            "roofline_calibration.json")
+        with open(os.path.abspath(path)) as fh:
+            stored = {c["case"]: c["measured_s"] for c in json.load(fh)["cases"]}
+        for name, problem, expr in cases:
+            measured.append((name, problem, expr, stored[name]))
+    else:
+        import jax.numpy as jnp
 
-    def model_times(penalty, overhead, fusion):
+        from evostencils_tpu.backend.lowering import CycleLowering
+
+        for name, problem, expr in cases:
+            lowering = CycleLowering(jnp.float32, use_pallas=True)
+            step = lowering.lower(expr)
+            u0, f = problem.initial_state(jnp.float32)
+            # Small grids need many more loop iterations: the measurement
+            # must rise above the tunnel's ~ms dispatch jitter.
+            iters = 60 if u0[0].shape[0] > 600 else 800
+            t = measure_per_cycle(step, u0, f, iters=iters)
+            measured.append((name, problem, expr, t))
+            print(f"{name}: {1e6 * t:.2f} us/cycle (iters={iters})", flush=True)
+
+    def model_times(penalty, overhead, fusion, single_fusion, intergrid, subset):
         out = []
-        for _, _, expr, _ in measured:
+        for _, _, expr, _ in subset:
             perf = PerformanceEvaluator(
                 red_black_penalty=penalty, kernel_launch_overhead=overhead,
-                fusion_factor=fusion,
+                fusion_factor=fusion, single_sweep_fusion=single_fusion,
+                intergrid_factor=intergrid,
             )
             invalidate_expression(expr)
             out.append(perf.estimate_runtime(expr))
         return out
 
+    def log_err(pred, subset):
+        return sum(
+            (np.log(p) - np.log(m[3])) ** 2 for p, m in zip(pred, subset)
+        )
+
+    # Stage 1: fit the shared constants — sweep penalty + fusion + the
+    # exact-f32 transfer surcharge — on the red-black cases (smoothing-only
+    # chains pin fusion/penalty; the V-cycles pin intergrid_factor).  The
+    # jacobi cases get their own single_sweep_fusion in stage 2, so they
+    # must not bias the shared fit.
+    rb_cases = [m for m in measured if "_jacobi_" not in m[0]]
+    jac_cases = [m for m in measured if "_jacobi_" in m[0]]
     best = None
-    for penalty in np.linspace(1.0, 2.6, 17):
-        for overhead in np.linspace(0.0, 2e-5, 21):
-            for fusion in np.linspace(1.0, 4.0, 13):
-                pred = model_times(float(penalty), float(overhead), float(fusion))
-                err = sum(
-                    (np.log(p) - np.log(m[3])) ** 2
-                    for p, m in zip(pred, measured)
-                )
+    for penalty in np.linspace(1.0, 2.0, 11):
+        for fusion in np.linspace(1.0, 4.0, 13):
+            for intergrid in np.linspace(1.0, 6.0, 21):
+                pred = model_times(float(penalty), 0.0, float(fusion), 1.0,
+                                   float(intergrid), rb_cases)
+                err = log_err(pred, rb_cases)
                 if best is None or err < best[0]:
-                    best = (err, float(penalty), float(overhead), float(fusion))
-    err, penalty, overhead, fusion = best
-    pred = model_times(penalty, overhead, fusion)
+                    best = (err, float(penalty), float(fusion), float(intergrid))
+    err_rb, penalty, fusion, intergrid = best
+    overhead = 0.0
+    # Stage 2: fit the single-sweep (plain Jacobi) fusion factor alone.
+    best2 = None
+    for sf in np.linspace(1.0, 5.0, 81):
+        pred = model_times(penalty, overhead, fusion, float(sf), intergrid,
+                           jac_cases)
+        err = log_err(pred, jac_cases)
+        if best2 is None or err < best2[0]:
+            best2 = (err, float(sf))
+    err_jac, single_fusion = best2
+    err = err_rb + err_jac
+    pred = model_times(penalty, overhead, fusion, single_fusion, intergrid,
+                       measured)
     print(f"\nfit: red_black_penalty={penalty:.3f}, "
           f"kernel_launch_overhead={overhead * 1e6:.1f} us, "
           f"fusion_factor={fusion:.2f}, "
+          f"single_sweep_fusion={single_fusion:.3f}, "
+          f"intergrid_factor={intergrid:.2f}, "
           f"log-rmse={np.sqrt(err / len(measured)):.3f}")
     rows = []
     for (name, _, _, t), p in zip(measured, pred):
@@ -156,6 +194,8 @@ def main():
         "red_black_penalty": penalty,
         "kernel_launch_overhead_s": overhead,
         "fusion_factor": fusion,
+        "single_sweep_fusion": single_fusion,
+        "intergrid_factor": intergrid,
         "log_rmse": float(np.sqrt(err / len(measured))),
         "cases": rows,
     }

@@ -51,6 +51,23 @@ def main():
     parser.add_argument("--knowledge", default=None,
                         help=".knowledge file for --problem-file (auto-"
                              "discovered next to the spec when omitted)")
+    parser.add_argument("--helmholtz-k0", type=float, default=80.0,
+                        help="base wavenumber for --problem helmholtz; the "
+                             "generalization ramp doubles it per step with "
+                             "h·k fixed (k0=20 + --generalization-interval G "
+                             "gives the 20→40→80 curriculum that ends at the "
+                             "reference's k=80 configuration)")
+    parser.add_argument("--seed-file", action="append", default=[],
+                        help="file whose first non-comment line is a grammar "
+                             "string seeded into the initial population "
+                             "(repeatable; e.g. a champion from a smaller-k "
+                             "curriculum stage)")
+    parser.add_argument("--seed-textbook", action="append", default=[],
+                        metavar="PRE,POST,OMEGA",
+                        help="seed a textbook V(PRE,POST) cycle at relaxation "
+                             "OMEGA into the initial population (repeatable; "
+                             "e.g. 2,1,0.6 for the reference Helmholtz "
+                             "default shape)")
     parser.add_argument("--continue-from-checkpoint", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
@@ -61,6 +78,13 @@ def main():
                              "directly — e.g. design the shifted-Laplace "
                              "cycle on M, then evaluate champions inside "
                              "PreconditionedBiCGStab separately")
+    parser.add_argument("--mesh", default=None, metavar="DP,SP",
+                        help="evaluate on a jax.sharding.Mesh: DP×SP devices "
+                             "(data-parallel × spatial rows); e.g. --mesh 2,4 "
+                             "on 8 devices.  Fine-grid states shard over sp; "
+                             "XLA inserts ICI halo exchanges (test with "
+                             "XLA_FLAGS=--xla_force_host_platform_device_"
+                             "count=8 JAX_PLATFORMS=cpu)")
     parser.add_argument("--multihost", action="store_true",
                         help="split the population across jax.distributed "
                              "processes (launcher must call "
@@ -85,6 +109,19 @@ def main():
             args.min_level if args.min_level != 5 else problem.min_level,
             args.max_level if args.max_level != 9 else problem.max_level,
         )
+    elif args.problem == "helmholtz":
+        from evostencils_tpu.problems.helmholtz import (
+            helmholtz_2d, max_level_for_k,
+        )
+
+        max_level = (
+            args.max_level if args.max_level != 9
+            else max_level_for_k(args.helmholtz_k0)
+        )
+        problem = helmholtz_2d(
+            min_level=args.min_level if args.min_level != 5 else 3,
+            max_level=max_level, k=args.helmholtz_k0,
+        )
     else:
         problem = build_named_problem(args.problem, args.min_level, args.max_level)
     if args.no_outer and getattr(problem, "outer_solver", None):
@@ -92,7 +129,15 @@ def main():
     output_dir = args.output or f"results_{problem.name}"
     os.makedirs(output_dir, exist_ok=True)
 
-    generator = JaxProgramGenerator(problem)
+    mesh = None
+    if args.mesh:
+        from evostencils_tpu.parallel.mesh import build_mesh
+
+        dp, sp = (int(x) for x in args.mesh.split(","))
+        mesh = build_mesh(dp * sp, dp=dp)
+        print(f"Evaluating on mesh {mesh}", flush=True)
+
+    generator = JaxProgramGenerator(problem, mesh=mesh)
     convergence_evaluator = None
     performance_evaluator = None
     if args.model_based:
@@ -126,7 +171,37 @@ def main():
     if args.problem == "helmholtz":
         from evostencils_tpu.problems.helmholtz import helmholtz_ladder
 
-        pde_parameter_values = {"k": [k for k, _ in helmholtz_ladder(4)]}
+        pde_parameter_values = {
+            "k": [k for k, _ in helmholtz_ladder(4, k0=args.helmholtz_k0)]
+        }
+
+    seed_individuals = []
+    for path in args.seed_file:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    seed_individuals.append(line)
+                    break
+    if args.seed_textbook:
+        from evostencils_tpu.grammar.multigrid import (
+            generate_primitive_set, textbook_cycle_string,
+        )
+
+        depth = problem.max_level - problem.min_level
+        _, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), problem.dimension,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=depth,
+            maximum_local_system_size=args.max_local_system_size,
+        )
+        for spec_str in args.seed_textbook:
+            parts = spec_str.split(",")
+            pre, post, omega = int(parts[0]), int(parts[1]), float(parts[2])
+            idx = max(0, min(36, round((omega - 0.1) / 0.05)))
+            seed_individuals.append(
+                textbook_cycle_string(tl, pre, post, omega_index=idx)
+            )
 
     best, program, pops, logbooks, hofs = optimizer.evolutionary_optimization(
         mu_=args.mu,
@@ -143,6 +218,7 @@ def main():
         maximum_local_system_size=args.max_local_system_size,
         model_based_estimation=args.model_based,
         pde_parameter_values=pde_parameter_values,
+        seed_individuals=seed_individuals or None,
         verbose=True,
     )
 

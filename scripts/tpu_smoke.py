@@ -11,7 +11,11 @@ intergrid transfers, or lowering change.  Exit code 0 = all checks pass.
 import sys
 
 
-def main():
+def run_smoke(verbose=True):
+    """Run every on-device numerics check; returns the list of failed check
+    names (empty = all pass).  Importable so bench.py can certify kernel
+    numerics in the same run that reports throughput (a bf16 transfer
+    perturbation was once caught only because this was run by hand)."""
     sys.setrecursionlimit(100000)
     import jax
     import jax.numpy as jnp
@@ -20,7 +24,8 @@ def main():
     failures = []
 
     def check(name, ok, detail=""):
-        print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
+        if verbose:
+            print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
         if not ok:
             failures.append(name)
 
@@ -111,6 +116,11 @@ def main():
     _, rho, iters = gen.generate_and_evaluate(cyc, evaluation_samples=1)
     check("V(2,1) ρ @1023²", 0.05 < rho < 0.12, f"(ρ={rho:.4f}, {iters} iters)")
 
+    return failures
+
+
+def main():
+    failures = run_smoke(verbose=True)
     print(f"\n{len(failures)} failure(s)")
     return 1 if failures else 0
 

@@ -221,6 +221,62 @@ class TestBlockSmoother:
         back = sops.apply_periodic_stencil(corr, bd)
         np.testing.assert_allclose(np.asarray(back), np.asarray(r[0]), rtol=1e-10)
 
+    @pytest.mark.parametrize(
+        "block,shape",
+        [(((2, 2),), (9, 13)), (((4, 2),), (11, 10)), (((1, 8),), (16, 9)),
+         (((3, 1),), (7, 7))],
+    )
+    def test_masked_shift_apply_matches_matmul(self, block, shape):
+        """The TPU-friendly masked-shift formulation must be bit-level
+        equivalent (up to f64 roundoff) to the gather/scatter matmul path,
+        including truncated boundary blocks on non-divisible shapes."""
+        from evostencils_tpu.ops.smoothers import build_block_solve_spec
+        from evostencils_tpu.stencils import periodic as per
+
+        grid = base.Grid(shape, (1.0 / shape[0], 1.0 / shape[1]), 3)
+        stencil = gallery.Poisson2D().generate_stencil(grid)
+        bd = per.block_diagonal(stencil, block[0])
+        spec = build_block_solve_spec([[bd]], list(block), shape, jnp.float64)
+        rng = np.random.default_rng(11)
+        r = (jnp.asarray(rng.standard_normal(shape)),)
+        got = spec.apply_masked(r)[0]
+        want = spec.apply_matmul(r)[0]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-13
+        )
+
+    def test_masked_shift_apply_matches_matmul_complex_system(self):
+        """Complex dtype (Helmholtz) and a 2-field system exercise the
+        inter-field shift planes."""
+        from evostencils_tpu.ops.smoothers import build_block_solve_spec
+        from evostencils_tpu.stencils import constant, periodic as per
+
+        shape = (10, 11)
+        grid = base.Grid(shape, (0.1, 0.1), 3)
+        lap = gallery.Poisson2D().generate_stencil(grid)
+        shifted = constant.combine(
+            lap, constant.scale(-(1.0 + 0.5j), constant.get_unit_stencil(grid)),
+            lambda a, b: a + b,
+        )
+        coupling = constant.scale(0.25j, constant.get_unit_stencil(grid))
+        bd = per.block_diagonal(shifted, (2, 2))
+        cp = per.block_diagonal(coupling, (2, 2))
+        entries = [[bd, cp], [cp, bd]]
+        spec = build_block_solve_spec(
+            entries, [(2, 2), (2, 2)], shape, jnp.complex128
+        )
+        rng = np.random.default_rng(5)
+        r = tuple(
+            jnp.asarray(rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+            for _ in range(2)
+        )
+        got = spec.apply_masked(r)
+        want = spec.apply_matmul(r)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-12, atol=1e-13
+            )
+
 
 class TestSmoothingChainFusion:
     """Consecutive same-structure smoothing steps lower to one lax.scan

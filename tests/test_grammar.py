@@ -121,3 +121,38 @@ class TestSelectUniqueBest:
         t3.fitness_values = (2.0,)
         best = gp.select_unique_best([t1, t2, t3], 2)
         assert [str(b) for b in best] == ["b", "a"]
+
+
+class TestTextbookSeedString:
+    def test_textbook_string_matches_reference_cycle(self):
+        """textbook_cycle_string must parse under the grammar's pset and
+        compile to the exact IR generate_v_cycle builds (numerically
+        identical step at f64)."""
+        import jax
+        import numpy as np
+        from evostencils_tpu.backend.lowering import CycleLowering
+        from evostencils_tpu.grammar.multigrid import (
+            generate_primitive_set, textbook_cycle_string,
+        )
+        from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+        from evostencils_tpu.problems.poisson import poisson_2d
+
+        problem = poisson_2d(min_level=3, max_level=6, dtype=jnp.float64)
+        pset, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, 6, problem.equations,
+            problem.operators, problem.fields, depth=3,
+            maximum_local_system_size=8,
+        )
+        s = textbook_cycle_string(tl, 2, 1, omega_index=16, cgc_omega_index=16)
+        expr, _ = gp.compile_tree(gp.parse_tree(s, pset), pset)
+        ref = generate_v_cycle(tl, problem.rhs(), 2, 1, omega=0.9)
+        low = CycleLowering(jnp.float64)
+        u0, f = problem.initial_state(jnp.float64)
+        sa, ova = low.lower_parameterized(expr)
+        sb, ovb = low.lower_parameterized(ref)
+        ua = jax.jit(sa)(u0, f, jnp.asarray(ova, jnp.float32))
+        ub = jax.jit(sb)(u0, f, jnp.asarray(ovb, jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(ua[0]), np.asarray(ub[0]), rtol=1e-12, atol=1e-14
+        )

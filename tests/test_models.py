@@ -230,14 +230,16 @@ class TestRooflineCalibration:
         not os.path.isfile(os.path.abspath(CALIBRATION)),
         reason="no calibration artifact (run scripts/calibrate_roofline.py on TPU)",
     )
-    def test_predicted_within_2x_of_measured(self):
+    def test_predicted_within_gate_of_measured(self):
         import json
 
         with open(os.path.abspath(self.CALIBRATION)) as fh:
             data = json.load(fh)
         from evostencils_tpu.models.roofline import (
+            INTERGRID_FACTOR_TPU,
             KERNEL_LAUNCH_OVERHEAD_TPU,
             RED_BLACK_PENALTY_TPU,
+            SINGLE_SWEEP_FUSION_TPU,
         )
 
         # The committed constants must match the committed fit.
@@ -247,8 +249,64 @@ class TestRooflineCalibration:
         assert KERNEL_LAUNCH_OVERHEAD_TPU == pytest.approx(
             data["kernel_launch_overhead_s"], rel=1e-6
         )
+        assert SINGLE_SWEEP_FUSION_TPU == pytest.approx(
+            data["single_sweep_fusion"], rel=1e-6
+        )
+        assert INTERGRID_FACTOR_TPU == pytest.approx(
+            data["intergrid_factor"], rel=1e-6
+        )
+        # Tightened from round 2's 2× after the single-sweep fusion split
+        # removed the systematic Jacobi over-prediction (VERDICT item 8).
         for case in data["cases"]:
             ratio = case["predicted_s"] / case["measured_s"]
-            assert 0.5 <= ratio <= 2.0, (
+            assert 1 / 1.35 <= ratio <= 1.35, (
                 f"{case['case']}: predicted/measured = {ratio:.2f}"
             )
+
+
+class TestLFAComplexShiftedLaplace:
+    """LFA on the complex shifted-Laplace preconditioner M = -Δ-(1+0.5i)k²
+    (VERDICT round 2, weak 3): the two-grid symbol must track the measured
+    inner-cycle ρ.  Beyond two grids the infinite-grid symbol hits
+    near-resonant coarse frequencies the finite Dirichlet grid does not
+    contain and over-predicts wildly (measured 0.52 vs LFA 1.42 at three
+    grids) — the same reason the reference confines model-based estimation
+    to ≤2 levels (reference scripts/optimize.py:101-103)."""
+
+    @pytest.mark.parametrize(
+        "k,levels,pre,post,omega",
+        [(20.0, (4, 5), 1, 1, 0.8), (20.0, (4, 5), 2, 1, 0.6),
+         (40.0, (5, 6), 2, 1, 0.6)],
+    )
+    def test_two_grid_symbol_tracks_measured_rho(self, k, levels, pre, post, omega):
+        import jax.numpy as jnp
+
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.grammar.multigrid import generate_primitive_set
+        from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+        from evostencils_tpu.models.lfa import ConvergenceEvaluator
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d
+
+        problem = helmholtz_2d(
+            min_level=levels[0], max_level=levels[1], k=k, dtype=jnp.complex128
+        )
+        problem = problem._clone(outer_solver=None)
+        _, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=levels[1] - levels[0],
+            maximum_local_system_size=8,
+        )
+        cyc = generate_v_cycle(tl, problem.rhs(), pre, post, omega=omega)
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        _, rho_measured, _ = gen.generate_and_evaluate(cyc, evaluation_samples=1)
+        ce = ConvergenceEvaluator(
+            2, problem.coarsening_factors, problem.finest_grid
+        )
+        rho_lfa = ce.compute_spectral_radius(cyc)
+        assert rho_measured < 1.0
+        assert rho_lfa > 0.0
+        # Infinite-grid LFA is a (slightly pessimistic) envelope of the
+        # Dirichlet-grid contraction; measured agreement is ~10%.
+        assert abs(rho_lfa - rho_measured) < 0.08
+        assert rho_lfa >= rho_measured - 0.02

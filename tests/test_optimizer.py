@@ -204,3 +204,41 @@ class TestRelaxationTuning:
         _, rho_after, _ = gen.generate_and_evaluate(expr, evaluation_samples=1)
         assert rho_after < rho_before * 0.7
         assert all(0.1 <= w <= 1.9 for w in tuned)
+
+
+class TestSeeding:
+    def test_seed_individual_enters_initial_population(self, tmp_path):
+        """A seeded textbook string must be parsed into the generation-0
+        population and (being far better than random trees at tiny
+        budgets) win the run."""
+        import jax.numpy as jnp
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.grammar.multigrid import (
+            generate_primitive_set, textbook_cycle_string,
+        )
+        from evostencils_tpu.optimization.optimizer import Optimizer
+        from evostencils_tpu.problems.poisson import poisson_2d
+
+        problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        _, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, 5, problem.equations,
+            problem.operators, problem.fields, depth=2,
+            maximum_local_system_size=4,
+        )
+        seed = textbook_cycle_string(tl, 2, 1, omega_index=16)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        opt = Optimizer.for_problem(
+            problem, program_generator=gen,
+            checkpoint_directory_path=str(tmp_path),
+            rng=random.Random(5),
+        )
+        best, _, _, _, hofs = opt.evolutionary_optimization(
+            mu_=4, lambda_=4, population_initialization_factor=1,
+            generations=1, generalization_interval=100,
+            optimization_method=opt.SOGP, evaluation_samples=1,
+            maximum_local_system_size=4, seed_individuals=[seed],
+            verbose=False,
+        )
+        # The seed (or an ω-mutation of it) dominates a 1-generation run.
+        assert any(str(ind) == seed for hof in hofs for ind in hof)

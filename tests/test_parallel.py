@@ -177,3 +177,61 @@ def test_multihost_dispatcher_two_process_roundtrip(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-2000:]}"
         assert f"MULTIHOST_OK {pid}" in out
+
+
+class TestMeshProductPath:
+    """The --mesh product surface: JaxProgramGenerator(mesh=…) evaluates
+    through SPMD-sharded executables, and a mini-evolution runs end to end
+    on the virtual 8-device mesh (VERDICT round 2 item 4)."""
+
+    def test_generator_with_mesh_matches_unsharded_rho(self):
+        import math
+        import random
+
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+
+        problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        _, terminals = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=2,
+        )
+        cycle = generate_v_cycle(terminals, problem.rhs())
+        mesh = build_mesh(8)
+        gen_plain = JaxProgramGenerator(problem, dtype=jnp.float64)
+        gen_mesh = JaxProgramGenerator(problem, dtype=jnp.float64, mesh=mesh)
+        _, rho_plain, it_plain = gen_plain.generate_and_evaluate(
+            cycle, evaluation_samples=1
+        )
+        with mesh:
+            t, rho_mesh, it_mesh = gen_mesh.generate_and_evaluate(
+                cycle, evaluation_samples=1
+            )
+        assert math.isfinite(t)
+        assert rho_mesh == pytest.approx(rho_plain, rel=1e-6)
+        assert it_mesh == it_plain
+
+    def test_mini_evolution_on_mesh(self, tmp_path):
+        import random
+
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.optimization.optimizer import Optimizer
+
+        problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        mesh = build_mesh(8)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64, mesh=mesh)
+        opt = Optimizer.for_problem(
+            problem, program_generator=gen,
+            checkpoint_directory_path=str(tmp_path),
+            rng=random.Random(3),
+        )
+        with mesh:
+            best, _, _, _, hofs = opt.evolutionary_optimization(
+                mu_=4, lambda_=4, population_initialization_factor=2,
+                generations=2, generalization_interval=100,
+                optimization_method=opt.NSGAII, evaluation_samples=1,
+                maximum_local_system_size=4, verbose=False,
+            )
+        assert best
+        fits = [ind.fitness_values for hof in hofs for ind in hof]
+        assert any(f[0] < 1.0 for f in fits), "no converging individual evolved"

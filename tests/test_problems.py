@@ -101,6 +101,70 @@ class TestHelmholtz:
         assert rho < 1.0
         assert t < 1e50
 
+    def test_outer_solver_rides_the_cycle_vm(self):
+        """Helmholtz evaluation must take the compile-free VM path: two
+        structurally different preconditioner cycles share ONE outer-solve
+        executable (the round-3 economics fix — zero per-structure
+        compiles during Helmholtz evolution)."""
+        problem = helmholtz_2d(min_level=3, max_level=5, k=20.0, dtype=jnp.complex128)
+        _, terminals = build_pset(problem, depth=2)
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        c21 = generate_v_cycle(terminals, problem.rhs(), 2, 1, omega=0.6)
+        c12 = generate_v_cycle(terminals, problem.rhs(), 1, 2, omega=0.7)
+        t1, rho1, it1 = gen.generate_and_evaluate(c21, evaluation_samples=1)
+        t2, rho2, it2 = gen.generate_and_evaluate(c12, evaluation_samples=1)
+        assert rho1 < 1.0 and rho2 < 1.0
+        assert gen.vm_hits >= 2 and gen.vm_misses == 0
+        full_keys = [
+            k for k in gen._solver_cache
+            if isinstance(k, tuple) and k[0] == "__vm__" and "outer" in k
+        ]
+        assert len(full_keys) >= 1
+        # No per-structure ("outer", ...) structural keys were compiled.
+        assert not any(
+            isinstance(k, tuple) and k[0] == "outer" for k in gen._solver_cache
+        )
+
+    def test_probe_kills_hopeless_preconditioner_without_full_solve(self):
+        """A divergent preconditioner must die at the short probe stage
+        with an informative (finite-or-ordered) ρ, and the full-cap outer
+        solve must never be built for it."""
+        problem = helmholtz_2d(min_level=3, max_level=5, k=20.0, dtype=jnp.complex128)
+        # Tight budget: reaching 1e-7 within 2×9 projected iterations needs
+        # a sustained 0.41 contraction over the 2-iteration probe — nothing
+        # this preconditioner can do, so the kill is deterministic.
+        problem.outer_solver["probe_iterations"] = 2
+        problem.outer_solver["max_iterations"] = 9
+        _, terminals = build_pset(problem, depth=2)
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        # ω=1.9 plain Jacobi with no coarse correction diverges on M.
+        t0 = terminals[0]
+        u, f, A = t0.approximation, problem.rhs(), t0.operator
+        from evostencils_tpu.ir import smoother as sm
+
+        res = base.Residual(A, u, f)
+        corr = base.Multiplication(
+            base.Inverse(sm.generate_collective_jacobi(A)), res
+        )
+        bad = base.Cycle(u, f, corr, partitioning=part.Single,
+                         relaxation_factor=1.9)
+        t, rho, iters = gen.generate_and_evaluate(bad, evaluation_samples=1)
+        assert t == 1e100
+        assert iters >= problem.outer_solver["max_iterations"]
+        assert 0 < rho  # informative, ordered failure fitness
+        probe_keys = [
+            k for k in gen._solver_cache
+            if isinstance(k, tuple) and any(
+                isinstance(p, str) and p.startswith("outer_probe") for p in k
+            )
+        ]
+        assert probe_keys, "probe solver was never built"
+        # The full-cap solver was never compiled for the killed individual.
+        assert not any(
+            isinstance(k, tuple) and ("outer" in k or k[0] == "outer")
+            for k in gen._solver_cache
+        )
+
     def test_ladder(self):
         ladder = helmholtz_ladder(3)
         assert [k for k, _ in ladder] == [80.0, 160.0, 320.0]

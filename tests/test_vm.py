@@ -76,6 +76,68 @@ def test_random_individuals_match_and_isa_is_stable(setup):
     assert vm.isa_version == version0
 
 
+def test_long_program_pages_to_larger_pad(setup):
+    """A >64-instruction structure (the grammar's deep/size-150 regime)
+    must stay on the compile-free VM path via the next pad class, not fall
+    off to a per-structure compile (round-2 weakness: silent pad overflow
+    at backend/vm.py PROGRAM_PAD)."""
+    problem, _, tl, lowering, vm = setup
+    from evostencils_tpu.ir import base, partitioning as part, smoother
+
+    t0 = tl[0]
+    f = problem.rhs()
+    u, A = t0.approximation, t0.operator
+    for _ in range(70):  # 70 smoothing instructions > PROGRAM_PAD
+        res = base.Residual(A, u, f)
+        corr = base.Multiplication(
+            base.Inverse(smoother.generate_collective_jacobi(A)), res
+        )
+        u = base.Cycle(u, f, corr, partitioning=part.RedBlack,
+                       relaxation_factor=1.0)
+    program = vm.translate(u)
+    assert program is not None, f"pad overflow: {vm.last_failure}"
+    assert program.length == 70
+    assert program.opcodes.shape[0] == 160  # next pad class
+    # Executes correctly through the same interpreter callable.
+    u0, fv = problem.initial_state(jnp.float64)
+    step_l, ov = lowering.lower_parameterized(u)
+    expected = jax.jit(step_l)(u0, fv, jnp.asarray(ov, dtype=jnp.float32))
+    got = jax.jit(vm.make_step())(u0, fv, program.as_arguments())
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expected[0]), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_pad_overflow_counter_stays_zero_for_long_programs():
+    """End-to-end through JaxProgramGenerator: the long structure takes the
+    VM path (vm_hits) and vm_pad_overflows stays 0."""
+    from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+    from evostencils_tpu.grammar.multigrid import generate_primitive_set
+    from evostencils_tpu.ir import base, partitioning as part, smoother
+
+    problem = poisson_2d(min_level=4, max_level=5, dtype=jnp.float64)
+    _, tl = generate_primitive_set(
+        problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+        5, problem.equations, problem.operators, problem.fields, depth=1,
+        maximum_local_system_size=4,
+    )
+    gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+    t0 = tl[0]
+    f = problem.rhs()
+    u, A = t0.approximation, t0.operator
+    for _ in range(66):
+        res = base.Residual(A, u, f)
+        corr = base.Multiplication(
+            base.Inverse(smoother.generate_collective_jacobi(A)), res
+        )
+        u = base.Cycle(u, f, corr, partitioning=part.RedBlack,
+                       relaxation_factor=0.9)
+    t, rho, iters = gen.generate_and_evaluate(u, evaluation_samples=1)
+    assert rho < 1.0
+    assert gen.vm_pad_overflows == 0
+    assert gen.vm_hits >= 1 and gen.vm_misses == 0
+
+
 def test_generate_and_evaluate_uses_vm(setup):
     """End-to-end: two different structures evaluate through one shared
     interpreter entry in the solver cache, with correct poisoning for a
