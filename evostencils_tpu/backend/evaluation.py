@@ -531,7 +531,13 @@ class JaxProgramGenerator:
         if vm is None:
             from evostencils_tpu.backend.vm import CycleVM
 
-            vm = CycleVM(self.lowering, self.problem, level)
+            # Outer-Krylov problems use the slim ISA: the interpreter body
+            # is inlined twice per BiCGStab iteration and the full ISA's
+            # graph takes minutes to compile on the tunnel; block-smoother
+            # individuals fall back to per-structure lowering instead.
+            slim = getattr(self.problem, "outer_solver", None) is not None
+            vm = CycleVM(self.lowering, self.problem, level,
+                         include_block_smoothers=not slim)
             self._vms[vm_key] = vm
         return vm
 

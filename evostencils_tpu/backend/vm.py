@@ -92,11 +92,21 @@ def _replace(t: tuple, i: int, v):
 
 
 class CycleVM:
-    """Interpreter for one problem hierarchy (finest level fixed)."""
+    """Interpreter for one problem hierarchy (finest level fixed).
 
-    def __init__(self, lowering, problem, finest_level: int):
+    `include_block_smoothers=False` builds a SLIM ISA (point smoothers +
+    transfers + CGS only): outer-Krylov evaluations inline the interpreter
+    body twice per BiCGStab iteration, and the full ~43-branch ISA makes
+    that graph take minutes to compile on the development tunnel.  Block-
+    smoother individuals then simply fail translation and take the
+    per-structure lowering path (~5 s apiece) — the right trade when the
+    interpreter executable is shared by a whole population."""
+
+    def __init__(self, lowering, problem, finest_level: int,
+                 include_block_smoothers: bool = True):
         self.lowering = lowering
         self.problem = problem
+        self.include_block_smoothers = include_block_smoothers
         self.finest_level = finest_level
         self.n_levels = finest_level - problem.min_level + 1
         # Per-level interior shapes, one per field (0 = finest).
@@ -146,6 +156,10 @@ class CycleVM:
             kind = "single"
         else:
             raise _NotTranslatable(f"partitioning {partitioning!r}")
+        if not self.include_block_smoothers and isinstance(B, system.Operator):
+            # Slim ISA: never register block solves lazily — that would
+            # bump isa_version and force the expensive shared recompile.
+            raise _NotTranslatable("block smoother outside slim ISA")
         key = ("smooth", level, kind, canonical_string(B))
         lowering = self.lowering
 
@@ -219,7 +233,7 @@ class CycleVM:
         scalar = len(problem.fields) == 1
         max_block = 8
         block_shapes = []
-        if scalar:
+        if scalar and self.include_block_smoothers:
             import itertools
 
             for shape in itertools.product(

@@ -38,6 +38,10 @@ def main():
     sys.setrecursionlimit(100000)
     import jax
 
+    from evostencils_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.dtype == "complex128":

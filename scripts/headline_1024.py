@@ -87,6 +87,10 @@ def main():
     sys.setrecursionlimit(100000)
     import jax
 
+    from evostencils_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     # Emulated f64 on device carries the fused solver's restart residuals
     # (the final 1e-10 verification runs in true host f64).
     jax.config.update("jax_enable_x64", True)

@@ -97,6 +97,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from evostencils_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from evostencils_tpu.backend.evaluation import JaxProgramGenerator
     from evostencils_tpu.models.lfa import ConvergenceEvaluator
     from evostencils_tpu.models.roofline import PerformanceEvaluator
