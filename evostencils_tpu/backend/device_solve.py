@@ -232,6 +232,106 @@ def build_fused_staged_solver(
     return solve
 
 
+def build_predicted_staged_solver(
+    step: Callable,
+    apply_a32: Callable,
+    apply_a64: Callable,
+    host_residual: Callable,
+    shapes: Tuple[tuple, ...],
+    rho: float,
+    target: float = 1e-10,
+    floor_estimate: float = 5e-3,
+    inner_cap: int = 40,
+    max_stages: int = 12,
+):
+    """Predicted-cycle staged solve: each stage runs EXACTLY
+    ceil(log(floor)/log(ρ)) cycles — no per-cycle residual norms, no stall
+    hunting — then restarts from the emulated-f64 device residual; the
+    host verifies (and if needed polishes) against true IEEE f64.
+
+    Rationale: the f32 stage floor (~5e-3 relative at the 1/h² operator
+    scale) caps every stage's reduction, and reactive stall detection
+    burns ~2 extra cycles per stage on every solver — which flattened the
+    round-2 headline cycle counts to ~18-22 regardless of ρ.  With the
+    measured asymptotic ρ (the power iteration the evaluation harness
+    already runs), the optimal stage length is known a priori; cycles to
+    target then scale with 1/log(ρ) and a better evolved cycle actually
+    SHOWS its advantage in device compute.  The reference's in-process
+    C++ loop pays one residual print per iteration (exastencils.py:417-
+    443); here the verification work rides the stage boundary instead.
+    """
+    rho = float(min(max(rho, 1e-6), 0.95))
+    k_stage = int(np.clip(np.ceil(np.log(floor_estimate) / np.log(rho)), 1,
+                          inner_cap))
+
+    @jax.jit
+    def device_solve(f64_rhs, k):
+        r0 = _l2(f64_rhs)
+
+        def inner(fs, k):
+            e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+            return jax.lax.fori_loop(0, k, lambda i, e: step(e, fs), e0)
+
+        def outer_cond(c):
+            _, r64, cycles, stages, prev_rel = c
+            rel = _l2(r64) / r0
+            return jnp.logical_and(
+                jnp.logical_and(rel > target, rel < prev_rel),
+                jnp.logical_and(stages < max_stages, cycles < 500),
+            )
+
+        def outer_body(c):
+            u64, r64, cycles, stages, _ = c
+            rel = _l2(r64) / r0
+            fs = tuple(x.astype(jnp.float32) for x in r64)
+            e = inner(fs, k)
+            u64 = tuple(u + x.astype(jnp.float64) for u, x in zip(u64, e))
+            r64 = tuple(f - a for f, a in zip(f64_rhs, apply_a64(u64)))
+            return u64, r64, cycles + k, stages + 1, rel
+
+        u0 = tuple(jnp.zeros(s, jnp.float64) for s in shapes)
+        u64, r64, cycles, stages, _ = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (u0, tuple(f64_rhs), jnp.int32(0), jnp.int32(0),
+             jnp.float64(np.inf)),
+        )
+        return u64, cycles, stages
+
+    @jax.jit
+    def polish_stage(fs, k):
+        e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+        return jax.lax.fori_loop(0, k, lambda i, e: step(e, fs), e0)
+
+    def solve(f32_rhs, f64_rhs_np):
+        f64_dev = tuple(jnp.asarray(x, jnp.float64) for x in f64_rhs_np)
+        u64, cycles, stages = jax.block_until_ready(
+            device_solve(f64_dev, jnp.int32(k_stage))
+        )
+        cycles = int(cycles)
+        stages = int(stages)
+        u_host = tuple(np.asarray(x, np.float64) for x in u64)
+        r_true = host_residual(u_host)
+        r0 = _host_l2(tuple(np.asarray(x, np.float64) for x in f64_rhs_np))
+        rel = _host_l2(r_true) / r0
+        # Host-restart polish past the emulated-f64 floor (~1.5e-10).
+        while rel > target and stages < max_stages + 4 and cycles < 1000:
+            fs = tuple(jnp.asarray(np.asarray(x, np.float32)) for x in r_true)
+            e = jax.block_until_ready(polish_stage(fs, jnp.int32(k_stage)))
+            u_host = tuple(
+                u + np.asarray(x, np.float64) for u, x in zip(u_host, e)
+            )
+            r_true = host_residual(u_host)
+            cycles += k_stage
+            stages += 1
+            new_rel = _host_l2(r_true) / r0
+            if new_rel >= rel:
+                break
+            rel = new_rel
+        return cycles, rel, stages
+
+    return solve
+
+
 def staged_solver_for_expression(
     lowering32,
     expression,
@@ -242,6 +342,7 @@ def staged_solver_for_expression(
     omegas=None,
     fused=False,
     lowering64=None,
+    rho=None,
     **kwargs,
 ):
     """Wire `build_staged_solver` from a lowered cycle expression.
@@ -270,6 +371,17 @@ def staged_solver_for_expression(
 
     def host_residual(u64):
         return tuple(generator._host_residual(operator, u64, f64_rhs))
+
+    if rho is not None:
+        # Predicted-cycle stages from the measured asymptotic ρ.
+        def apply_a64(u):
+            return (lowering64 or lowering32).system_apply(operator, u)
+
+        solve = build_predicted_staged_solver(
+            step, apply_a32, apply_a64, host_residual, shapes, rho=rho,
+            **kwargs,
+        )
+        return solve, f64_rhs
 
     if fused:
         def apply_a64(u):

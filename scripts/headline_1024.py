@@ -82,6 +82,12 @@ def main():
     parser.add_argument("--tune", action="store_true",
                         help="gradient-retune champion ω at this size")
     parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--predicted", action="store_true",
+                        help="predicted-cycle stages from measured ρ (no "
+                             "per-cycle residual norms or stall hunting): "
+                             "cycle counts track 1/log(ρ), so better "
+                             "evolved cycles show their device-compute "
+                             "advantage")
     args = parser.parse_args()
 
     sys.setrecursionlimit(100000)
@@ -172,6 +178,7 @@ def main():
             lowering32, expr, operator, problem, generator,
             omegas=omegas, target=args.target, fused=True,
             lowering64=lowering64,
+            rho=(float(rho) if args.predicted and rho < 1.0 else None),
         )
         cycles, rel, stages = solve(f_32, f64_rhs)
         times = []

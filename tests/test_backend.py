@@ -340,3 +340,49 @@ class TestSmoothingChainFusion:
             np.asarray(jax.grad(loss(step_p))(om)),
             rtol=1e-10,
         )
+
+
+class TestPredictedStagedSolver:
+    def test_predicted_stages_reach_target_and_track_rho(self):
+        """Predicted-cycle stages (device_solve.build_predicted_staged_
+        solver) must reach the 1e-10 target with cycle counts that shrink
+        for smaller ρ — the property the reactive stall-hunting stages
+        lost (round-2 headline: ~18-22 cycles regardless of ρ)."""
+        import jax
+
+        from evostencils_tpu.backend.device_solve import (
+            staged_solver_for_expression,
+        )
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.backend.lowering import CycleLowering
+
+        problem = poisson_2d(min_level=3, max_level=6, dtype=jnp.float32)
+        _, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=3,
+        )
+        operator = tl[0].operator
+        gen = JaxProgramGenerator(problem, dtype=jnp.float32)
+        lowering32 = CycleLowering(jnp.float32, use_pallas=False)
+        lowering64 = CycleLowering(jnp.float64, use_pallas=False)
+        _, f32_rhs = problem.initial_state(jnp.float32)
+
+        results = {}
+        for name, pre, post, omega in (("v11", 1, 1, 0.8), ("v22", 2, 2, 1.0)):
+            expr = reference_cycles.generate_v_cycle(
+                tl, problem.rhs(), pre, post, omega=omega
+            )
+            _, rho, _ = gen.generate_and_evaluate(expr, evaluation_samples=1)
+            assert 0 < rho < 1
+            solve, f64_rhs = staged_solver_for_expression(
+                lowering32, expr, operator, problem, gen,
+                target=1e-10, lowering64=lowering64, rho=float(rho),
+            )
+            cycles, rel, stages = solve(f32_rhs, f64_rhs)
+            assert rel <= 1e-10, f"{name}: rel={rel}"
+            assert stages >= 2
+            results[name] = (cycles, rho)
+        # The much-better-ρ V(2,2) must use fewer cycles than V(1,1).
+        assert results["v22"][1] < results["v11"][1]
+        assert results["v22"][0] < results["v11"][0]
