@@ -179,3 +179,34 @@ def test_generate_and_evaluate_uses_vm(setup):
     assert t3 == 1e100
     assert it3 >= gen.iteration_limit
     assert len([k for k in gen._solver_cache if isinstance(k, tuple) and k[0] == "__vm__"]) == 1
+
+
+def test_vm_omega_groups_batch_in_one_dispatch():
+    """Same-structure, different-ω individuals must evaluate through the
+    vmapped VM power iteration (batch rides the program's ω slice) and
+    agree with per-individual evaluation."""
+    from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+    from evostencils_tpu.ir import base, partitioning as part, smoother
+    from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+
+    problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float32)
+    _, tl = generate_primitive_set(
+        problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+        5, problem.equations, problem.operators, problem.fields, depth=2,
+        maximum_local_system_size=4,
+    )
+    exprs = [
+        generate_v_cycle(tl, problem.rhs(), 2, 1, omega=w)
+        for w in (0.8, 0.9, 1.0, 1.1)
+    ]
+    gen = JaxProgramGenerator(problem, dtype=jnp.float32)
+    grouped = gen.generate_and_evaluate_group(exprs, evaluation_samples=1)
+    gen2 = JaxProgramGenerator(problem, dtype=jnp.float32)
+    singles = [
+        gen2.generate_and_evaluate(e, evaluation_samples=1) for e in exprs
+    ]
+    assert len(grouped) == 4
+    assert gen._vmapped_cache, "vmapped VM power path was not used"
+    for (tg, rg, ig), (ts, rs, is_) in zip(grouped, singles):
+        assert rg == pytest.approx(rs, rel=1e-4)
+        assert ig == is_
