@@ -261,19 +261,23 @@ def build_predicted_staged_solver(
     443); here the verification work rides the stage boundary instead.
     """
     rho = float(min(max(rho, 1e-6), 0.95))
-    k_stage = int(np.clip(np.ceil(np.log(floor_estimate) / np.log(rho)), 1,
-                          inner_cap))
+    # Initial stage length: one extra cycle absorbs the per-restart
+    # transient (a restarted error equation starts from a rough state, so
+    # the first cycle contracts ~0.5, not ρ — measured at 1024²).
+    k_stage = int(np.clip(np.ceil(np.log(floor_estimate) / np.log(rho)) + 1,
+                          2, inner_cap))
 
     @jax.jit
-    def device_solve(f64_rhs, k):
+    def device_solve(f64_rhs, k0):
         r0 = _l2(f64_rhs)
+        log_floor = jnp.float64(np.log(floor_estimate))
 
         def inner(fs, k):
             e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
             return jax.lax.fori_loop(0, k, lambda i, e: step(e, fs), e0)
 
         def outer_cond(c):
-            _, r64, cycles, stages, prev_rel = c
+            _, r64, cycles, stages, prev_rel, _ = c
             rel = _l2(r64) / r0
             return jnp.logical_and(
                 jnp.logical_and(rel > target, rel < prev_rel),
@@ -281,19 +285,27 @@ def build_predicted_staged_solver(
             )
 
         def outer_body(c):
-            u64, r64, cycles, stages, _ = c
+            u64, r64, cycles, stages, _, k = c
             rel = _l2(r64) / r0
             fs = tuple(x.astype(jnp.float32) for x in r64)
             e = inner(fs, k)
             u64 = tuple(u + x.astype(jnp.float64) for u, x in zip(u64, e))
             r64 = tuple(f - a for f, a in zip(f64_rhs, apply_a64(u64)))
-            return u64, r64, cycles + k, stages + 1, rel
+            # Self-tuning stage length: size the next stage from THIS
+            # stage's measured effective rate (asymptotic ρ misses the
+            # restart transient; the floor caps useful depth).
+            new_rel = _l2(r64) / r0
+            achieved = jnp.clip(new_rel / rel, 1e-12, 0.97)
+            r_eff = jnp.log(achieved) / k.astype(jnp.float64)  # log rate
+            k_next = jnp.ceil(log_floor / r_eff).astype(jnp.int32) + 1
+            k_next = jnp.clip(k_next, 2, inner_cap)
+            return u64, r64, cycles + k, stages + 1, rel, k_next
 
         u0 = tuple(jnp.zeros(s, jnp.float64) for s in shapes)
-        u64, r64, cycles, stages, _ = jax.lax.while_loop(
+        u64, r64, cycles, stages, _, _ = jax.lax.while_loop(
             outer_cond, outer_body,
             (u0, tuple(f64_rhs), jnp.int32(0), jnp.int32(0),
-             jnp.float64(np.inf)),
+             jnp.float64(np.inf), k0),
         )
         return u64, cycles, stages
 
