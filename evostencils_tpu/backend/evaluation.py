@@ -1266,7 +1266,15 @@ class JaxProgramGenerator:
             # Helmholtz evolution.  The projected count keeps failures
             # ordered (informative √(ρ·iters) fallback upstream).
             probe = self.problem.outer_solver.get("probe_iterations", 128)
-            if probe and max_iterations > 4 * probe:
+            if (
+                probe
+                and max_iterations > 4 * probe
+                and self._vm_program(expression)[1] is not None
+            ):
+                # VM-translatable only: the probe executable is shared by
+                # the whole population there.  A per-structure probe would
+                # cost an extra tunnel compile — more than the capped full
+                # solve it tries to save.
                 (probe_solve, _), probe_omegas, _ = self._build_outer_solver(
                     expression, probe_iterations=probe
                 )
