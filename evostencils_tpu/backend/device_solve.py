@@ -232,6 +232,49 @@ def build_fused_staged_solver(
     return solve
 
 
+def build_floor_probe(
+    step: Callable,
+    apply_a32: Callable,
+    shapes: Tuple[tuple, ...],
+    inner_cap: int = 60,
+    stall_ratio: float = 0.95,
+):
+    """One f32 stage run to stall: probe(fs) -> (k, floor_rel).
+
+    The f32 stage floor is operator- AND cycle-dependent (it scales with
+    the rounding noise the cycle injects at the 1/h² operator scale), so
+    the conservative 5e-3 default can cost a whole extra restart — each
+    restart pays a transient cycle plus an emulated-f64 residual.  The
+    probe measures the achieved stage reduction at stall (<5 %/cycle
+    improvement) so the predicted staged solver can size stages to the
+    REAL floor."""
+
+    @jax.jit
+    def probe(fs):
+        rs0 = _l2(fs)
+        e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+
+        def cond(c):
+            _, k, rn, prev = c
+            improving = jnp.logical_or(k < 2, rn < stall_ratio * prev)
+            return jnp.logical_and(
+                jnp.logical_and(k < inner_cap, jnp.isfinite(rn)), improving
+            )
+
+        def body(c):
+            e, k, rn, _ = c
+            e = step(e, fs)
+            new_rn = _l2(tuple(f - a for f, a in zip(fs, apply_a32(e))))
+            return e, k + 1, new_rn, rn
+
+        _, k, rn, prev = jax.lax.while_loop(
+            cond, body, (e0, jnp.int32(0), rs0, jnp.float32(np.inf))
+        )
+        return k, jnp.minimum(rn, prev) / rs0
+
+    return probe
+
+
 def build_predicted_staged_solver(
     step: Callable,
     apply_a32: Callable,
@@ -297,7 +340,16 @@ def build_predicted_staged_solver(
             new_rel = _l2(r64) / r0
             achieved = jnp.clip(new_rel / rel, 1e-12, 0.97)
             r_eff = jnp.log(achieved) / k.astype(jnp.float64)  # log rate
-            k_next = jnp.ceil(log_floor / r_eff).astype(jnp.int32) + 1
+            # Never run a stage past the REMAINING decades to target: a
+            # deep measured floor would otherwise overshoot the final
+            # stage (wasted cycles past 1e-10).
+            k_remaining = jnp.ceil(
+                jnp.log(jnp.clip(target / new_rel, 1e-300, 1.0)) / r_eff
+            )
+            k_next = (
+                jnp.minimum(jnp.ceil(log_floor / r_eff), k_remaining)
+                .astype(jnp.int32) + 1
+            )
             k_next = jnp.clip(k_next, 2, inner_cap)
             return u64, r64, cycles + k, stages + 1, rel, k_next
 
@@ -355,6 +407,7 @@ def staged_solver_for_expression(
     fused=False,
     lowering64=None,
     rho=None,
+    calibrate_floor=False,
     **kwargs,
 ):
     """Wire `build_staged_solver` from a lowered cycle expression.
@@ -389,10 +442,21 @@ def staged_solver_for_expression(
         def apply_a64(u):
             return (lowering64 or lowering32).system_apply(operator, u)
 
+        measured_floor = None
+        if calibrate_floor:
+            probe = build_floor_probe(step, apply_a32, shapes)
+            fs0 = tuple(jnp.asarray(np.asarray(x, np.float32)) for x in f64_rhs)
+            _, floor = jax.block_until_ready(probe(fs0))
+            measured_floor = float(floor)
+            # 2× margin: stage targets sit just above the stall point,
+            # where the marginal cycles still contract near ρ.
+            kwargs["floor_estimate"] = min(2.0 * measured_floor, 5e-3)
+
         solve = build_predicted_staged_solver(
             step, apply_a32, apply_a64, host_residual, shapes, rho=rho,
             **kwargs,
         )
+        solve.measured_floor = measured_floor
         return solve, f64_rhs
 
     if fused:

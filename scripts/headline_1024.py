@@ -71,6 +71,40 @@ def per_cycle_time(step, u0, f, iters=100):
     return max((t3 - t1) / (2 * iters), 1e-9)
 
 
+def restart_time(apply_a64, u64, f64, iters=20):
+    """Per-restart device seconds: the emulated-f64 residual
+    r = f − A·u plus the f32 cast that re-seeds the next stage.  Same
+    fori-loop differencing / value-fetch barrier as per_cycle_time; the
+    1e-30-scaled feedback keeps every iteration live (no CSE/hoist)."""
+    import jax
+    import jax.numpy as jnp
+
+    def k_loop(n):
+        @jax.jit
+        def run(u, f):
+            def body(i, uu):
+                r64 = tuple(ff - aa for ff, aa in zip(f, apply_a64(uu)))
+                fs = tuple(x.astype(jnp.float32) for x in r64)
+                return tuple(
+                    a + 1e-30 * b.astype(jnp.float64) for a, b in zip(uu, fs)
+                )
+
+            out = jax.lax.fori_loop(0, n, body, u)
+            return sum(jnp.sum(x * x) for x in out)
+
+        float(run(u64, f64))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(run(u64, f64))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = k_loop(iters)
+    t3 = k_loop(3 * iters)
+    return max((t3 - t1) / (2 * iters), 1e-9)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--min-level", type=int, default=6)
@@ -82,6 +116,9 @@ def main():
     parser.add_argument("--tune", action="store_true",
                         help="gradient-retune champion ω at this size")
     parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (small-grid testing; "
+                             "implies --no-pallas)")
     parser.add_argument("--predicted", action="store_true",
                         help="predicted-cycle stages from measured ρ (no "
                              "per-cycle residual norms or stall hunting): "
@@ -92,6 +129,10 @@ def main():
 
     sys.setrecursionlimit(100000)
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.no_pallas = True
 
     from evostencils_tpu.utils import enable_persistent_compile_cache
 
@@ -171,6 +212,7 @@ def main():
     u0_32, f_32 = problem.initial_state(jnp.float32)
 
     rows = []
+    t_restart = None
     for name, expr, omegas in solvers:
         _, rho, _ = generator.generate_and_evaluate(expr, evaluation_samples=1)
 
@@ -179,7 +221,9 @@ def main():
             omegas=omegas, target=args.target, fused=True,
             lowering64=lowering64,
             rho=(float(rho) if args.predicted and rho < 1.0 else None),
+            calibrate_floor=(args.predicted and rho < 1.0),
         )
+        floor = getattr(solve, "measured_floor", None)
         cycles, rel, stages = solve(f_32, f64_rhs)
         times = []
         for _ in range(args.repeats):
@@ -196,6 +240,20 @@ def main():
         else:
             step = lowering32.lower(expr)
         t_cycle = per_cycle_time(step, u0_32, f_32)
+        if t_restart is None:
+            # Identical restart body for every solver (A is the problem
+            # operator, not the cycle) — measure once.
+            u64_probe = tuple(
+                jnp.zeros(s, jnp.float64) for s in (x.shape for x in u0_32)
+            )
+            f64_probe = tuple(jnp.asarray(x, jnp.float64) for x in f64_rhs)
+            t_restart = restart_time(
+                lambda u: lowering64.system_apply(operator, u),
+                u64_probe, f64_probe,
+            )
+        # Device compute: cycles ride the f32 step; each stage pays one
+        # emulated-f64 restart residual; +1 for the final target check.
+        device_ms = 1e3 * (cycles * t_cycle + (int(stages) + 1) * t_restart)
         bytes_cycle = perf.estimate_traffic(expr)
         bw = bytes_cycle / t_cycle
         rows.append({
@@ -204,27 +262,39 @@ def main():
             "cycles": int(cycles),
             "stages": int(stages),
             "rel_residual": float(rel),
+            "device_ms": device_ms,
             "t_min_ms": 1e3 * t_min,
             "t_med_ms": 1e3 * t_med,
             "t_cycle_us": 1e6 * t_cycle,
+            "t_restart_us": 1e6 * t_restart,
+            "measured_floor": floor,
             "GBps": bw / 1e9,
             "bw_util_pct": 100.0 * bw / TPU_V5E_HBM_BANDWIDTH,
         })
         print(f"[{name}] rho={rho:.4f} cycles={int(cycles)} "
-              f"rel={float(rel):.2e} t_min={1e3*t_min:.1f}ms "
-              f"t_cycle={1e6*t_cycle:.1f}us bw={bw/1e9:.0f}GB/s", flush=True)
+              f"stages={int(stages)} rel={float(rel):.2e} "
+              f"device={device_ms:.2f}ms wall_min={1e3*t_min:.1f}ms "
+              f"t_cycle={1e6*t_cycle:.1f}us t_restart={1e6*t_restart:.1f}us "
+              f"floor={floor if floor is None else f'{floor:.1e}'} "
+              f"bw={bw/1e9:.0f}GB/s", flush=True)
 
     n = 2 ** args.max_level
     print(f"\n## 2D Poisson {n}² time-to-{args.target:g} (one-jit staged solve, "
           f"{'pallas' if use_pallas else 'jnp'} kernels)\n")
-    print("| solver | ρ | cycles | device time-to-target (min/med ms) | "
-          "per-cycle µs | modeled GB/s | BW util % |")
-    print("|---|---|---|---|---|---|---|")
+    print("| solver | ρ | cycles | stages | DEVICE compute ms | "
+          "tunnel wall (min/med ms) | per-cycle µs | per-restart µs | "
+          "modeled GB/s | BW util % |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['solver']} | {r['rho']:.3f} | {r['cycles']} | "
+              f"{r['stages']} | **{r['device_ms']:.2f}** | "
               f"{r['t_min_ms']:.1f} / {r['t_med_ms']:.1f} | "
-              f"{r['t_cycle_us']:.1f} | {r['GBps']:.0f} | "
-              f"{r['bw_util_pct']:.0f} |")
+              f"{r['t_cycle_us']:.1f} | {r['t_restart_us']:.1f} | "
+              f"{r['GBps']:.0f} | {r['bw_util_pct']:.0f} |")
+    print("\nDEVICE compute = cycles × per-cycle + (stages+1) × per-restart "
+          "(emulated-f64 residual + f32 cast); tunnel wall includes ~25 ms "
+          "per dispatch + host-f64 verification transfers that a "
+          "production-attached TPU pays in µs.")
     return 0
 
 

@@ -386,3 +386,51 @@ class TestPredictedStagedSolver:
         # The much-better-ρ V(2,2) must use fewer cycles than V(1,1).
         assert results["v22"][1] < results["v11"][1]
         assert results["v22"][0] < results["v11"][0]
+
+    def test_floor_calibration_reduces_stages(self):
+        """calibrate_floor=True probes the ACTUAL f32 stage floor (way
+        below the conservative 5e-3 default on small grids, where 1/h²
+        is modest) and must therefore reach the target in fewer or equal
+        stages and cycles, never worse."""
+        from evostencils_tpu.backend.device_solve import (
+            staged_solver_for_expression,
+        )
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.backend.lowering import CycleLowering
+
+        problem = poisson_2d(min_level=3, max_level=6, dtype=jnp.float32)
+        _, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=3,
+        )
+        operator = tl[0].operator
+        gen = JaxProgramGenerator(problem, dtype=jnp.float32)
+        lowering32 = CycleLowering(jnp.float32, use_pallas=False)
+        lowering64 = CycleLowering(jnp.float64, use_pallas=False)
+        _, f32_rhs = problem.initial_state(jnp.float32)
+        expr = reference_cycles.generate_v_cycle(tl, problem.rhs(), 2, 2)
+        _, rho, _ = gen.generate_and_evaluate(expr, evaluation_samples=1)
+
+        outcomes = {}
+        for calibrate in (False, True):
+            solve, f64_rhs = staged_solver_for_expression(
+                lowering32, expr, operator, problem, gen,
+                target=1e-10, lowering64=lowering64, rho=float(rho),
+                calibrate_floor=calibrate,
+            )
+            cycles, rel, stages = solve(f32_rhs, f64_rhs)
+            assert rel <= 1e-10
+            outcomes[calibrate] = (stages, cycles)
+            if calibrate:
+                assert solve.measured_floor is not None
+                assert 0 < solve.measured_floor < 5e-3
+        # Deeper measured floor → at most as many restarts.  (Cycle counts
+        # are grid-size dependent: on tiny grids restart transients are
+        # free and short stages can win; the 1024² headline is where the
+        # stage economics matter and are re-measured.)
+        assert outcomes[True][0] <= outcomes[False][0]
+        # The remaining-decades cap must keep calibration from grossly
+        # overshooting the target: within 2 cycles + one transient of the
+        # uncalibrated count.
+        assert outcomes[True][1] <= outcomes[False][1] + 3
