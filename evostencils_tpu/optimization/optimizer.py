@@ -565,6 +565,7 @@ class Optimizer:
         current_parameters = {
             key: values[0] for key, values in pde_parameter_values.items()
         }
+        gen_t0 = time.perf_counter()
         nevals = self._evaluate_population(
             population,
             lambda ind: evaluate(
@@ -578,7 +579,13 @@ class Optimizer:
         population = select(population, min(mu_, len(population)))
         hof.update(population)
         record = mstats.compile(population)
-        logbook.record(gen=min_generation, nevals=nevals, **record)
+        # gen_s: wall seconds per generation — the paper-protocol scaling
+        # claim (per-individual cost flat in population size) is checked
+        # against this curve.
+        logbook.record(
+            gen=min_generation, nevals=nevals,
+            gen_s=round(time.perf_counter() - gen_t0, 1), **record,
+        )
         if verbose:
             print(logbook.stream, flush=True)
 
@@ -586,6 +593,7 @@ class Optimizer:
         level_offset = 0
         evaluation_min_level, evaluation_max_level = min_level, max_level
         for gen in range(min_generation + 1, generations + 1):
+            gen_t0 = time.perf_counter()
             if count >= generalization_interval:
                 # Generalization: grow the problem size and re-evaluate
                 # (reference program.py:515-539).
@@ -694,7 +702,10 @@ class Optimizer:
             population = select(population + offspring, mu_)
             count += 1
             record = mstats.compile(population)
-            logbook.record(gen=gen, nevals=nevals, **record)
+            logbook.record(
+                gen=gen, nevals=nevals,
+                gen_s=round(time.perf_counter() - gen_t0, 1), **record,
+            )
             if verbose:
                 print(logbook.stream, flush=True)
 
