@@ -99,8 +99,16 @@ class JaxProgramGenerator:
         timing_iterations: int = 10,
         device=None,
         mesh=None,
+        ladder_rungs: int = 3,
     ):
         self.problem = problem
+        # Number of k-ladder rungs evaluated per Helmholtz fitness
+        # (reference exastencils.py:518-535 runs 3: k, 2k, 4k).  During
+        # evolution a single rung (base k only) keeps selection pressure on
+        # the actual target instead of poisoning every fitness with the
+        # higher rungs that even textbook cycles fail; champions are then
+        # validated on the full ladder by scripts/evaluate_helmholtz_ladder.
+        self.ladder_rungs = max(1, int(ladder_rungs))
         # Optional jax.sharding.Mesh: fine-grid states are sharded over the
         # "sp" axis and every solver executable runs SPMD (the product
         # surface for multi-chip evaluation, VERDICT round 2 item 4).
@@ -1041,9 +1049,10 @@ class JaxProgramGenerator:
         accumulated sums immediately (reference exastencils.py:518-535 —
         failure sums keep failures ordered worse than successes)."""
         base_k = self.problem.parameters["k"]
+        rungs = self.ladder_rungs
         total_t = total_rho = total_it = 0.0
         try:
-            for i in range(3):
+            for i in range(rungs):
                 t, rho, it = self._generate_and_evaluate_measured(
                     expression, infinity, evaluation_samples
                 )
@@ -1052,13 +1061,13 @@ class JaxProgramGenerator:
                 total_it += it
                 if not math.isfinite(t) or t >= infinity or rho > 1:
                     return total_t, total_rho, total_it
-                if i < 2:
+                if i < rungs - 1:
                     self._apply_parameter_values(
                         {"k": self.problem.parameters["k"] * 2.0}
                     )
         finally:
             self._apply_parameter_values({"k": base_k})
-        return total_t / 3.0, total_rho / 3.0, total_it / 3.0
+        return total_t / rungs, total_rho / rungs, total_it / rungs
 
     def _generate_and_evaluate_measured(
         self, expression, infinity, evaluation_samples

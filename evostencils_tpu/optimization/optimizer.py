@@ -90,6 +90,12 @@ class NestedCycleSolver:
 
 
 class Optimizer:
+    # Added to every non-converged single-objective fitness: far above any
+    # real time-to-convergence in ms (≈ 11.6 days), far below `infinity`
+    # (1e100), so failures sort after all successes but keep their
+    # √(ρ·iters) relative order.
+    FAILURE_FITNESS_OFFSET = 1e9
+
     def __init__(
         self,
         dimension,
@@ -374,10 +380,14 @@ class Optimizer:
             # √(ρ·iters) fallback for non-converged individuals using the
             # *measured* convergence factor and iteration count (reference
             # program.py:414-415 with parse_output's executed count) — so
-            # failures are ordered by both contraction and work, and stay
-            # comparable to converged individuals' time fitness.
+            # failures are ordered by both contraction and work.  The
+            # offset keeps every failure strictly worse than any converged
+            # time-to-convergence (ms): without it, a capped Helmholtz
+            # outer solve (√(0.99·600) ≈ 24) would outrank a converged one
+            # (t ≈ 3600 ms) and SOGP would select for divergence.
             fitness = (
-                min(rho, self.infinity) ** 0.5
+                self.FAILURE_FITNESS_OFFSET
+                + min(rho, self.infinity) ** 0.5
                 * min(iterations, self.infinity) ** 0.5,
             )
         self.add_individual_to_cache(individual, fitness)

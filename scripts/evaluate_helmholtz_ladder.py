@@ -27,6 +27,14 @@ def main():
     parser.add_argument("--k", type=float, default=80.0)
     parser.add_argument("--champion", action="append", default=[])
     parser.add_argument("--max-iterations", type=int, default=10000)
+    parser.add_argument("--rungs", type=int, default=3,
+                        help="number of k-ladder rungs (k·2^i) to evaluate; "
+                             "1 = base k only, for fast sweeps")
+    parser.add_argument("--textbook", action="append", default=[],
+                        metavar="PRE,POST,OMEGA",
+                        help="extra textbook V(PRE,POST) ω=OMEGA candidates "
+                             "(repeatable); default set is V(2,1)/V(2,2) "
+                             "at ω=0.6 (the reference gen_mgCycle shape)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dtype", default="complex64",
                         choices=["complex64", "complex128"],
@@ -69,8 +77,12 @@ def main():
         maximum_local_system_size=8,
     )
 
+    textbook_specs = [(2, 1, 0.6), (2, 2, 0.6)]
+    for spec_str in args.textbook:
+        parts = spec_str.split(",")
+        textbook_specs.append((int(parts[0]), int(parts[1]), float(parts[2])))
     candidates = []
-    for pre, post, omega in ((2, 1, 0.6), (2, 2, 0.6)):
+    for pre, post, omega in textbook_specs:
         expr = generate_v_cycle(
             tl, problem.rhs(), pre_smoothing=pre, post_smoothing=post,
             omega=omega,
@@ -93,7 +105,7 @@ def main():
     rows = []
     for name, expr in candidates:
         per_k = []
-        for step in range(3):
+        for step in range(args.rungs):
             kk = args.k * 2 ** step
             generator._apply_parameter_values({"k": kk})
             t, rho, iters = generator.generate_and_evaluate(

@@ -72,6 +72,19 @@ def main():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--outer-cap", type=int, default=None,
+                        help="override the outer Krylov iteration cap during "
+                             "evolution (e.g. 600 at k=80: converging "
+                             "preconditioners finish in ~450 its, hopeless "
+                             "ones die ~17x sooner than the reference's "
+                             "10000 cap; validate champions at the full cap "
+                             "with scripts/evaluate_helmholtz_ladder.py)")
+    parser.add_argument("--ladder-rungs", type=int, default=3,
+                        help="k-ladder rungs per Helmholtz fitness "
+                             "(reference: 3 = k,2k,4k). Use 1 during "
+                             "evolution to keep selection pressure on the "
+                             "base k; validate champions on the full "
+                             "ladder with evaluate_helmholtz_ladder.py")
     parser.add_argument("--no-outer", action="store_true",
                         help="strip the problem's outer Krylov driver and "
                              "evolve on the inner (preconditioner) system "
@@ -130,6 +143,11 @@ def main():
         problem = build_named_problem(args.problem, args.min_level, args.max_level)
     if args.no_outer and getattr(problem, "outer_solver", None):
         problem = problem._clone(outer_solver=None)
+    elif args.outer_cap and getattr(problem, "outer_solver", None):
+        problem = problem._clone(
+            outer_solver=dict(problem.outer_solver,
+                              max_iterations=args.outer_cap)
+        )
     output_dir = args.output or f"results_{problem.name}"
     os.makedirs(output_dir, exist_ok=True)
 
@@ -141,7 +159,9 @@ def main():
         mesh = build_mesh(dp * sp, dp=dp)
         print(f"Evaluating on mesh {mesh}", flush=True)
 
-    generator = JaxProgramGenerator(problem, mesh=mesh)
+    generator = JaxProgramGenerator(
+        problem, mesh=mesh, ladder_rungs=args.ladder_rungs
+    )
     convergence_evaluator = None
     performance_evaluator = None
     if args.model_based:

@@ -299,6 +299,29 @@ class TestKLadderProtocol:
         assert it == 510
         assert gen.problem.parameters["k"] == 80.0
 
+    def test_single_rung_evolution_mode(self, monkeypatch):
+        """ladder_rungs=1 (evolution economics): only the base k is
+        measured, its result returned unaveraged, base k untouched."""
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d
+
+        problem = helmholtz_2d(min_level=3, max_level=5)
+        gen = JaxProgramGenerator(
+            problem, dtype=jnp.complex64, ladder_rungs=1
+        )
+        seen = []
+
+        def fake(expression, infinity, evaluation_samples):
+            seen.append(gen.problem.parameters["k"])
+            return (30.0, 0.6, 30)
+
+        monkeypatch.setattr(gen, "_generate_and_evaluate_measured", fake)
+        t, rho, it = gen.generate_and_evaluate(
+            object(), global_variable_values={"k": 80.0}
+        )
+        assert seen == [80.0]
+        assert (t, rho, it) == (30.0, 0.6, 30.0)
+        assert gen.problem.parameters["k"] == 80.0
+
     def test_parameter_signature_keys_caches(self):
         gen = self._gen()
         sig80 = gen._param_sig

@@ -242,3 +242,33 @@ class TestSeeding:
         )
         # The seed (or an ω-mutation of it) dominates a 1-generation run.
         assert any(str(ind) == seed for hof in hofs for ind in hof)
+
+
+class TestFailureFitnessOrdering:
+    def test_capped_failure_ranks_below_converged_time(self, tmp_path):
+        """A non-converged individual (capped outer solve, small measured
+        iteration count) must never outrank a converged individual whose
+        fitness is a time-to-convergence in milliseconds."""
+        problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        opt = make_optimizer(problem, ckpt=str(tmp_path))
+        results = iter([
+            (3600.0, 0.96, 450),          # converged: 3.6 s to target
+            (1e100, 0.99, 600),           # capped at 600 iterations
+        ])
+        opt._program_generator.generate_and_evaluate = (
+            lambda *a, **k: next(results)
+        )
+        opt.compile_individual = lambda ind: (object(), None)
+
+        class Ind(str):
+            pass
+
+        converged = opt.evaluate_single_objective(Ind("a"), 1)
+        failed = opt.evaluate_single_objective(Ind("b"), 1)
+        assert converged[0] == 3600.0
+        assert failed[0] > converged[0]
+        assert failed[0] < opt.infinity
+        # Relative ordering among failures still follows sqrt(rho*iters).
+        worse = (Optimizer.FAILURE_FITNESS_OFFSET
+                 + (0.999 * 10000) ** 0.5)
+        assert failed[0] < worse
