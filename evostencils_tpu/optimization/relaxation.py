@@ -130,3 +130,85 @@ def tune_relaxation_factors(
     for cycle, omega in zip(collect_cycles(expression), tuned):
         cycle.relaxation_factor = omega
     return tuned, history
+
+
+def tune_outer_relaxation(
+    expression,
+    generator,
+    iterations: int = 10,
+    sigma: float = 0.12,
+    omega_bounds: Tuple[float, float] = (0.1, 1.9),
+    population_size: Optional[int] = None,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """CMA-ES tuning of a preconditioner cycle's ω vector against the
+    measured OUTER Krylov solve (Helmholtz: preconditioned BiCGStab
+    outer iterations to the 1e-7 target).
+
+    `tune_relaxation_factors` minimizes the *inner* cycle's contraction —
+    but for the shifted-Laplace preconditioner the outer iteration count
+    is nearly flat in inner strength (measured: V(1,1)→V(3,3) all
+    ~429-453 outer its at k=80) while the relaxation factors move it by
+    ~15% (ω=0.8: 392 its).  So the right post-evolution objective is the
+    outer count itself.  It is integer-valued and non-differentiable →
+    derivative-free CMA-ES.  Cost stays modest because the cycle's ω are
+    traced arguments of the cached outer executable
+    (backend/evaluation._build_outer_solver): every CMA-ES candidate is
+    a pure re-execution, no recompilation.
+
+    The reference has no counterpart — its ω retuning patches generated
+    C++ globals and recompiles per candidate (reference
+    code_generation/exastencils.py:241-293).
+
+    Returns (tuned_omegas, best_outer_iterations); the expression's
+    Cycle nodes are left holding the best ω found.
+    """
+    import numpy as _np
+
+    from evostencils_tpu.optimization.intergrid_transfer import CMAES
+
+    cycles = collect_cycles(expression)
+    if not cycles:
+        return [], math.inf
+    x0 = _np.array([float(c.relaxation_factor) for c in cycles])
+    lo, hi = omega_bounds
+
+    def set_omegas(ws):
+        ws = _np.clip(ws, lo, hi)
+        for c, w in zip(cycles, ws):
+            c.relaxation_factor = float(w)
+        return ws
+
+    def fitness(ws):
+        set_omegas(ws)
+        t, _, it = generator.generate_and_evaluate(
+            expression, evaluation_samples=1
+        )
+        if not math.isfinite(t) or t >= 1e100:
+            # Failure: order capped runs by how far they got.
+            return 1e6 + float(it)
+        # Iterations dominate; time breaks ties between equal counts.
+        return float(it) + 1e-6 * float(t)
+
+    best_f = fitness(x0)
+    best_w = x0.copy()
+    if verbose:
+        print(f"tune_outer start: {best_f:.2f} with ω={x0.round(3).tolist()}",
+              flush=True)
+    es = CMAES(x0, sigma, population_size=population_size, seed=seed)
+    for g in range(iterations):
+        sols = es.ask()
+        fits = _np.array([fitness(w) for w in sols])
+        es.tell(sols, fits)
+        i = int(fits.argmin())
+        if fits[i] < best_f:
+            best_f = float(fits[i])
+            best_w = _np.clip(sols[i], lo, hi).copy()
+        if verbose:
+            print(f"tune_outer gen {g}: best {best_f:.2f} "
+                  f"(gen min {fits.min():.2f})", flush=True)
+    tuned = set_omegas(best_w)
+    return [float(w) for w in tuned], (
+        best_f if best_f < 1e6 else math.inf
+    )

@@ -35,6 +35,14 @@ def main():
                         help="extra textbook V(PRE,POST) ω=OMEGA candidates "
                              "(repeatable); default set is V(2,1)/V(2,2) "
                              "at ω=0.6 (the reference gen_mgCycle shape)")
+    parser.add_argument("--tune-outer", type=int, default=0, metavar="GENS",
+                        help="CMA-ES-tune each candidate's relaxation "
+                             "factors against the measured outer iteration "
+                             "count at the base k for GENS generations "
+                             "before the ladder sweep")
+    parser.add_argument("--save-tuned", default=None, metavar="DIR",
+                        help="write tuned candidates as grammar+ω artifacts "
+                             "into DIR")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dtype", default="complex64",
                         choices=["complex64", "complex128"],
@@ -102,6 +110,27 @@ def main():
     print(f"# Helmholtz ladder k={args.k}·(1,2,4), levels "
           f"[{args.min_level},{args.max_level}], outer target 1e-7, "
           f"cap {args.max_iterations}\n", flush=True)
+    if args.tune_outer:
+        import os
+
+        from evostencils_tpu.optimization.relaxation import tune_outer_relaxation
+
+        for name, expr in candidates:
+            tuned, best = tune_outer_relaxation(
+                expr, generator, iterations=args.tune_outer, verbose=True
+            )
+            print(f"[tuned {name}] outer fitness -> {best:.1f} "
+                  f"ω={[round(w, 3) for w in tuned]}", flush=True)
+            if args.save_tuned:
+                os.makedirs(args.save_tuned, exist_ok=True)
+                safe = name.replace(" ", "_").replace("(", "").replace(
+                    ")", "").replace(",", "_")
+                with open(os.path.join(
+                        args.save_tuned, f"{safe}_tuned.txt"), "w") as f:
+                    f.write(str(expr) + "\n")
+                    f.write(f"# tuned omegas: {[round(w, 4) for w in tuned]}\n")
+                    f.write(f"# outer fitness at k={args.k}: {best}\n")
+
     rows = []
     for name, expr in candidates:
         per_k = []

@@ -1,6 +1,7 @@
 """Optimizer integration: multi-run splitting, generalization ramp,
 Krylov coarse solvers, dispatchers."""
 
+import math
 import random
 
 import jax.numpy as jnp
@@ -204,6 +205,42 @@ class TestRelaxationTuning:
         _, rho_after, _ = gen.generate_and_evaluate(expr, evaluation_samples=1)
         assert rho_after < rho_before * 0.7
         assert all(0.1 <= w <= 1.9 for w in tuned)
+
+
+class TestOuterRelaxationTuning:
+    def test_cmaes_outer_tuning_does_not_regress(self):
+        """CMA-ES over the preconditioner's ω vector against the measured
+        outer BiCGStab iteration count (k=20 two-grid Helmholtz on CPU).
+        The executable is compiled once; every candidate re-executes it
+        with a different traced ω vector."""
+        from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+        from evostencils_tpu.optimization.relaxation import tune_outer_relaxation
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d
+
+        problem = helmholtz_2d(min_level=3, max_level=5, k=20.0,
+                               dtype=jnp.complex128)
+        problem = problem._clone(
+            outer_solver=dict(problem.outer_solver, max_iterations=1500)
+        )
+        _, terminals = generate_primitive_set(
+            problem.approximation(), problem.rhs(), 2,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=2,
+            maximum_local_system_size=4,
+        )
+        # Deliberately detuned: ω=1.3 overshoots for shifted-Laplace RBGS.
+        expr = generate_v_cycle(terminals, problem.rhs(), 1, 1, omega=1.3)
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        _, _, it_before = gen.generate_and_evaluate(expr, evaluation_samples=1)
+        tuned, it_after = tune_outer_relaxation(
+            expr, gen, iterations=3, sigma=0.2, seed=5
+        )
+        assert math.isfinite(it_after)
+        assert it_after <= it_before + 1
+        assert all(0.1 <= w <= 1.9 for w in tuned)
+        # The winning ω really are written back into the expression.
+        _, _, it_re = gen.generate_and_evaluate(expr, evaluation_samples=1)
+        assert abs(it_re - it_after) <= max(3, 0.05 * it_after)
 
 
 class TestSeeding:
