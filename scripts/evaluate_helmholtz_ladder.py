@@ -90,21 +90,52 @@ def main():
         parts = spec_str.split(",")
         textbook_specs.append((int(parts[0]), int(parts[1]), float(parts[2])))
     candidates = []
+    grammar_strings = {}
     for pre, post, omega in textbook_specs:
         expr = generate_v_cycle(
             tl, problem.rhs(), pre_smoothing=pre, post_smoothing=post,
             omega=omega,
         )
-        candidates.append((f"textbook V({pre},{post}) ω={omega}", expr))
+        name = f"textbook V({pre},{post}) ω={omega}"
+        candidates.append((name, expr))
+        try:
+            from evostencils_tpu.grammar.multigrid import textbook_cycle_string
+
+            idx = max(0, min(36, round((omega - 0.1) / 0.05)))
+            grammar_strings[name] = textbook_cycle_string(
+                tl, pre, post, omega_index=idx
+            )
+        except Exception:
+            pass
     for path in args.champion:
-        tree_string = open(path).readline().strip()
+        tree_string = None
+        omegas = None
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("# tuned omegas:"):
+                    import json
+
+                    omegas = json.loads(line.split(":", 1)[1])
+                elif line and not line.startswith("#") and tree_string is None:
+                    tree_string = line
         try:
             tree = gp.parse_tree(tree_string, pset)
             expr, _ = gp.compile_tree(tree, pset)
         except Exception as e:
             print(f"[skip] {path}: {type(e).__name__}: {e}", flush=True)
             continue
-        candidates.append((path.rsplit("/", 1)[-1].replace(".txt", ""), expr))
+        name = path.rsplit("/", 1)[-1].replace(".txt", "")
+        grammar_strings[name] = tree_string
+        if omegas is not None:
+            from evostencils_tpu.ir.transformations import collect_cycles
+
+            cycles_list = collect_cycles(expr)
+            if len(cycles_list) == len(omegas):
+                for c, w in zip(cycles_list, omegas):
+                    c.relaxation_factor = float(w)
+                name += " (tuned ω)"
+        candidates.append((name, expr))
 
     generator = JaxProgramGenerator(problem, dtype=getattr(jnp, args.dtype))
     print(f"# Helmholtz ladder k={args.k}·(1,2,4), levels "
@@ -124,10 +155,17 @@ def main():
             if args.save_tuned:
                 os.makedirs(args.save_tuned, exist_ok=True)
                 safe = name.replace(" ", "_").replace("(", "").replace(
-                    ")", "").replace(",", "_")
+                    ")", "").replace(",", "_").replace("ω=", "w")
+                # Durable, reloadable form: the grammar string (champions
+                # are already grammar strings; textbook shapes use their
+                # grammar derivation) + the tuned ω vector, applied at
+                # load time via the `# tuned omegas:` comment.
+                durable = grammar_strings.get(name) or grammar_strings.get(
+                    name.replace(" (tuned ω)", "")
+                )
                 with open(os.path.join(
                         args.save_tuned, f"{safe}_tuned.txt"), "w") as f:
-                    f.write(str(expr) + "\n")
+                    f.write((durable or str(expr)) + "\n")
                     f.write(f"# tuned omegas: {[round(w, 4) for w in tuned]}\n")
                     f.write(f"# outer fitness at k={args.k}: {best}\n")
 
