@@ -32,13 +32,10 @@ def main():
 
     import jax
 
+    from evostencils_tpu.utils import enable_persistent_compile_cache
+
     # Persistent XLA compile cache: amortizes warmup across bench runs.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from evostencils_tpu.backend.evaluation import JaxProgramGenerator

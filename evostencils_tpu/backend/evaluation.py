@@ -572,7 +572,10 @@ class JaxProgramGenerator:
         argument slot as a (opcodes, omegas, length) triple."""
         omega_arg = program.as_arguments()
         level = self._expression_level(expression)
-        key = ("__vm__", self._param_sig, level, vm.isa_version)
+        # The pad class is part of the executable's shape contract: a
+        # pad-64 compiled interpreter cannot ingest a pad-160 program.
+        key = ("__vm__", self._param_sig, level, vm.isa_version,
+               int(program.opcodes.shape[0]))
         if key in self._solver_cache:
             return self._solver_cache[key], omega_arg, False
         if any(
@@ -668,7 +671,8 @@ class JaxProgramGenerator:
             if vm_mode:
                 level = self._expression_level(expressions[0])
                 vm_obj = self._vm_for(level)
-                key = ("__vm__", self._param_sig, level, vm_obj.isa_version)
+                key = ("__vm__", self._param_sig, level, vm_obj.isa_version,
+                       int(np.asarray(omega_arg0[0]).shape[0]))
             else:
                 key = self._structural_key(expressions[0])
             if power_compiled is None or key not in self._power_fns:
@@ -734,7 +738,8 @@ class JaxProgramGenerator:
             rates, _ = jax.block_until_ready(vm(e0, zf, batch_omegas))
             rates = np.asarray(jnp.real(rates))[:n]
             self._consecutive_device_failures = 0
-        except (RuntimeError, ValueError, NotImplementedError, FloatingPointError):
+        except (RuntimeError, ValueError, TypeError, NotImplementedError,
+                FloatingPointError):
             return [
                 self.generate_and_evaluate(
                     e, infinity=infinity, evaluation_samples=evaluation_samples,
@@ -1237,6 +1242,18 @@ class JaxProgramGenerator:
         cast = tuple(np.asarray(x).astype(np_dtype) for x in host_state)
         return self._state_to_realpairs(cast)
 
+    def _pairs_to_host(self, x_pairs):
+        """Device solution — (re, im) pairs under complex I/O — back to the
+        host accumulation dtype (complex128/float64)."""
+        is_complex = _dtype_is_complex(self.dtype)
+        if is_complex and self._complex_io:
+            return tuple(
+                np.asarray(r, np.float64) + 1j * np.asarray(i, np.float64)
+                for r, i in x_pairs
+            )
+        np_acc = np.complex128 if is_complex else np.float64
+        return tuple(np.asarray(x, np_acc) for x in x_pairs)
+
     def _generate_and_evaluate_outer(self, expression, infinity, evaluation_samples):
         """Outer-Krylov evaluation with host-f64 restarts.
 
@@ -1274,6 +1291,7 @@ class JaxProgramGenerator:
             # full-cap solver at all — the round-3 economics fix for
             # Helmholtz evolution.  The projected count keeps failures
             # ordered (informative √(ρ·iters) fallback upstream).
+            probe_seed = None
             probe = self.problem.outer_solver.get("probe_iterations", 128)
             if (
                 probe
@@ -1284,10 +1302,12 @@ class JaxProgramGenerator:
                 # the whole population there.  A per-structure probe would
                 # cost an extra tunnel compile — more than the capped full
                 # solve it tries to save.
-                (probe_solve, _), probe_omegas, _ = self._build_outer_solver(
-                    expression, probe_iterations=probe
+                (probe_solve, probe_operator), probe_omegas, _ = (
+                    self._build_outer_solver(
+                        expression, probe_iterations=probe
+                    )
                 )
-                _, p_res, p_res0, p_it = jax.block_until_ready(
+                p_pairs, p_res, p_res0, p_it = jax.block_until_ready(
                     probe_solve(u0_args, self._host_state_to_args(f64),
                                 self._as_omega_arg(probe_omegas))
                 )
@@ -1297,11 +1317,11 @@ class JaxProgramGenerator:
                 self._consecutive_device_failures = 0
                 if p_it == 0 or not math.isfinite(p_res) or p_res0 <= 0.0:
                     return infinity, infinity, infinity
-                if p_it >= probe:  # did not converge within the probe cap
-                    p_rate = (
-                        (p_res / p_res0) ** (1.0 / p_it)
-                        if p_res > 0.0 else 0.0
-                    )
+                # p_res == 0.0 exactly is machine-zero convergence — the
+                # best possible probe outcome, never a kill.
+                if p_it >= probe and p_res > 0.0:
+                    # did not converge within the probe cap
+                    p_rate = (p_res / p_res0) ** (1.0 / p_it)
                     if p_rate >= 1.0:
                         return infinity, p_rate, max_iterations
                     projected = math.log(true_target) / math.log(p_rate)
@@ -1309,6 +1329,12 @@ class JaxProgramGenerator:
                     # still accelerate — only kill clearly-infeasible runs.
                     if projected > 2.0 * max_iterations:
                         return infinity, p_rate, int(min(projected, 10 * max_iterations))
+                if p_res < p_res0:
+                    # The survivor's probe iterations are real work — seed
+                    # the staged solve with the probe solution instead of
+                    # discarding up-to-`probe` outer iterations.
+                    probe_seed = (self._pairs_to_host(p_pairs),
+                                  probe_operator, p_it)
 
             (solve, outer_operator), omega_values, newly_compiled = (
                 self._build_outer_solver(expression)
@@ -1320,8 +1346,21 @@ class JaxProgramGenerator:
             total_it = 0
             it1 = None
             rel = 1.0
+            if probe_seed is not None:
+                x_probe, probe_operator, p_it_seed = probe_seed
+                r_probe = self._host_residual(probe_operator, x_probe, f64)
+                seeded_rel = math.sqrt(
+                    sum(float(np.sum(np.abs(x) ** 2)) for x in r_probe)
+                ) / res0_true
+                if math.isfinite(seeded_rel) and seeded_rel < rel:
+                    x_total = x_probe
+                    rhs_host = r_probe
+                    total_it = p_it_seed
+                    rel = seeded_rel
 
             for _stage in range(4):
+                if rel <= true_target:
+                    break
                 rhs_args = self._host_state_to_args(rhs_host)
                 x_pairs, res, res0s, it = jax.block_until_ready(
                     solve(u0_args, rhs_args, omegas)
@@ -1347,13 +1386,7 @@ class JaxProgramGenerator:
                         (res / res0s) ** (1.0 / it) if res > 0.0 else infinity
                     )
                 total_it += it
-                if is_complex and self._complex_io:
-                    x_host = tuple(
-                        np.asarray(r, np.float64) + 1j * np.asarray(i, np.float64)
-                        for r, i in x_pairs
-                    )
-                else:
-                    x_host = tuple(np.asarray(x, np_acc) for x in x_pairs)
+                x_host = self._pairs_to_host(x_pairs)
                 x_total = tuple(a + b for a, b in zip(x_total, x_host))
                 r_host = self._host_residual(outer_operator, x_total, f64)
                 new_rel = math.sqrt(
@@ -1382,6 +1415,11 @@ class JaxProgramGenerator:
             rho = rel ** (1.0 / max(total_it, 1))
             return infinity, rho, total_it
         rho = rel ** (1.0 / total_it)
+        if it1 is None:
+            # The probe seed alone met the target — no staged solve ran;
+            # the timing sample below solves to the same target itself, so
+            # extrapolation factor is 1.
+            it1 = total_it
         # Timing: median over samples of the first stage, extrapolated to
         # the executed total (per-iteration cost is stage-invariant).
         f_args = self._host_state_to_args(f64)

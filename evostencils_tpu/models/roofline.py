@@ -263,6 +263,7 @@ class PerformanceEvaluator:
         if isinstance(expression, base.Cycle):
             correction = expression.correction
             is_smoothing = False
+            is_block_solve = False
             ig_pair = None
             if isinstance(correction, base.Residual):
                 operations, words = 0, 0
@@ -274,6 +275,13 @@ class PerformanceEvaluator:
                     ig_pair = (operations, words)
                 elif isinstance(correction.operand1, base.Inverse):
                     is_smoothing = True
+                    # Block-local solves (system.Operator inverse) execute
+                    # as masked coefficient-plane shifts — extra full-grid
+                    # arrays that do NOT fuse like an unmasked point-Jacobi
+                    # pass, so they keep the undiscounted word count.
+                    is_block_solve = isinstance(
+                        correction.operand1.operand, system.Operator
+                    )
                     residual = correction.operand2
                     visited[id(residual)] = True
                     runtime, traffic = self._dependency_cost(residual, visited)
@@ -293,10 +301,11 @@ class PerformanceEvaluator:
             is_red_black = expression.partitioning is partitioning.RedBlack or (
                 isinstance(expression.partitioning, partitioning.RedBlack)
             )
-            if is_smoothing and not is_red_black:
+            if is_smoothing and not is_red_black and not is_block_solve:
                 # Plain-Jacobi sweeps fuse residual+scale+update into one
                 # unmasked full-grid pass: fewer HBM words than red-black
-                # (see SINGLE_SWEEP_FUSION_TPU).
+                # (see SINGLE_SWEEP_FUSION_TPU).  Fitted on point-Jacobi
+                # cases only, so block-local solves are excluded.
                 words = words / self.single_sweep_fusion
             cells = self._cells(expression.grid)
             step = self.compute_runtime(operations, words, operations * cells)

@@ -566,8 +566,10 @@ class Optimizer:
             for s in seed_individuals or []:
                 try:
                     population.insert(0, gp.parse_tree(s, self._pset))
-                except (KeyError, ValueError, RuntimeError) as e:
-                    print(f"Seed individual rejected: {e}", flush=True)
+                except (KeyError, ValueError, RuntimeError, IndexError) as e:
+                    # IndexError: parse_tree walking past the token list on
+                    # a truncated grammar string (hand-edited artifact).
+                    print(f"Seed individual rejected: {e!r}", flush=True)
             min_generation = 0
             logbook = Logbook()
             logbooks.append(logbook)

@@ -45,10 +45,18 @@ def main():
             continue
         if isinstance(fitness, (int, float)):
             fitness = (fitness,)
+        if len(fitness) == 1:
+            # Single-objective runs store (time_ms,) — already the right
+            # scalarization; rank by it directly (failures are huge).
+            t_ms = fitness[0]
+            if not (0.0 < t_ms < 1e8):
+                continue
+            scored.append((t_ms, float("nan"), path))
+            continue
         rho = fitness[0]
         if not (0.0 < rho < args.max_rho):
             continue
-        t_iter = fitness[1] if len(fitness) > 1 else 1.0
+        t_iter = fitness[1]
         cycles = math.log(args.target) / math.log(rho)
         scored.append((cycles * t_iter, rho, path))
 

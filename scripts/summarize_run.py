@@ -77,7 +77,7 @@ def main():
             print(f"| {i} | {fit[0]:.6g} | {s.count('(')} nodes |")
 
     # Per-generation wall time (gen_s recorded by the optimizer logbook).
-    records = [r for lb in logbooks for r in (lb if isinstance(lb, list) else lb)]
+    records = [r for lb in logbooks for r in lb]
     gen_s = [(r.get("gen"), r["gen_s"]) for r in records if "gen_s" in r]
     if gen_s:
         times = [t for _, t in gen_s if t > 1e-9]

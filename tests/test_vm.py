@@ -210,3 +210,52 @@ def test_vm_omega_groups_batch_in_one_dispatch():
     for (tg, rg, ig), (ts, rs, is_) in zip(grouped, singles):
         assert rg == pytest.approx(rs, rel=1e-4)
         assert ig == is_
+
+
+def test_vm_group_batching_across_pad_classes():
+    """Groups from DIFFERENT pad classes (64-instruction then 160) must
+    each batch through their own compiled interpreter: the vmapped cache
+    key carries the pad size, so a pad-64 executable is never invoked
+    with pad-160 program shapes (round-3 crasher: TypeError mid-run)."""
+    from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+    from evostencils_tpu.grammar.multigrid import generate_primitive_set
+    from evostencils_tpu.ir import base, partitioning as part, smoother
+    from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+
+    problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float32)
+    _, tl = generate_primitive_set(
+        problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+        5, problem.equations, problem.operators, problem.fields, depth=2,
+        maximum_local_system_size=4,
+    )
+
+    def deep_chain(omega):
+        t0 = tl[0]
+        f = problem.rhs()
+        u, A = t0.approximation, t0.operator
+        for _ in range(66):  # 66 instructions -> pad class 160
+            res = base.Residual(A, u, f)
+            corr = base.Multiplication(
+                base.Inverse(smoother.generate_collective_jacobi(A)), res
+            )
+            u = base.Cycle(u, f, corr, partitioning=part.RedBlack,
+                           relaxation_factor=omega)
+        return u
+
+    short_exprs = [
+        generate_v_cycle(tl, problem.rhs(), 2, 1, omega=w)
+        for w in (0.8, 0.9, 1.0, 1.1)
+    ]
+    long_exprs = [deep_chain(w) for w in (0.7, 0.8, 0.9, 1.0)]
+
+    gen = JaxProgramGenerator(problem, dtype=jnp.float32)
+    short_res = gen.generate_and_evaluate_group(short_exprs, evaluation_samples=1)
+    long_res = gen.generate_and_evaluate_group(long_exprs, evaluation_samples=1)
+    assert len(short_res) == 4 and len(long_res) == 4
+    # Both pad classes took the batched path (distinct vmapped cache keys).
+    pads = {k[0][-1] for k in gen._vmapped_cache}
+    assert pads == {64, 160}, f"expected both pad classes batched, got {pads}"
+    gen2 = JaxProgramGenerator(problem, dtype=jnp.float32)
+    for (tg, rg, ig), e in zip(long_res, long_exprs):
+        ts, rs, is_ = gen2.generate_and_evaluate(e, evaluation_samples=1)
+        assert rg == pytest.approx(rs, rel=1e-4, abs=1e-6)
