@@ -165,6 +165,39 @@ class TestHelmholtz:
             for k in gen._solver_cache
         )
 
+    def test_probe_survivor_seeds_staged_solve(self):
+        """A converging preconditioner must SURVIVE the probe prescreen and
+        reuse the probe's iterations: the staged solve starts from the
+        probe solution (round-3 fix — up to `probe` outer iterations were
+        recomputed from zero), and the reported total stays consistent
+        with convergence to the true target."""
+        problem = helmholtz_2d(min_level=3, max_level=5, k=20.0,
+                               dtype=jnp.complex128)
+        problem.outer_solver["probe_iterations"] = 8
+        problem.outer_solver["max_iterations"] = 500
+        _, terminals = build_pset(problem, depth=2)
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        good = generate_v_cycle(terminals, problem.rhs(), 2, 1, omega=0.6)
+        t, rho, iters = gen.generate_and_evaluate(good, evaluation_samples=1)
+        assert t < 1e50  # converged, not poisoned
+        assert rho < 1.0
+        # The probe ran (8 its) and its work is part of the total.
+        assert iters >= 8
+        probe_keys = [
+            k for k in gen._solver_cache
+            if isinstance(k, tuple) and any(
+                isinstance(p, str) and p.startswith("outer_probe") for p in k
+            )
+        ]
+        assert probe_keys, "probe solver was never built"
+        full_keys = [
+            k for k in gen._solver_cache
+            if isinstance(k, tuple) and "outer" in k
+            and not any(isinstance(p, str) and p.startswith("outer_probe")
+                        for p in k)
+        ]
+        assert full_keys, "full-cap solver missing for the survivor"
+
     def test_ladder(self):
         ladder = helmholtz_ladder(3)
         assert [k for k, _ in ladder] == [80.0, 160.0, 320.0]
