@@ -235,3 +235,106 @@ class TestMeshProductPath:
         assert best
         fits = [ind.fitness_values for hof in hofs for ind in hof]
         assert any(f[0] < 1.0 for f in fits), "no converging individual evolved"
+
+
+_MULTIHOST_MESH_WORKER = """
+import sys
+import os
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+addr, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=addr, num_processes=2, process_id=pid
+)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from evostencils_tpu.problems.poisson import poisson_2d
+from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+from evostencils_tpu.grammar.multigrid import generate_primitive_set
+from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+from evostencils_tpu.parallel.dispatch import MultiHostDispatcher, SerialDispatcher
+
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+_, tl = generate_primitive_set(
+    problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+    5, problem.equations, problem.operators, problem.fields, depth=2,
+)
+exprs = [
+    generate_v_cycle(tl, problem.rhs(), 2, 1, omega=w)
+    for w in (0.7, 0.8, 0.9, 1.0, 1.1, 1.2)
+]
+
+# dp over HOSTS (dispatcher round-robin), sp within the host's own four
+# devices: a host-local mesh keeps every jit fully addressable while the
+# fitness allgather rides the global 8-device system.
+mesh = Mesh(np.asarray(jax.local_devices()).reshape(1, 4), ("dp", "sp"))
+gen = JaxProgramGenerator(problem, dtype=jnp.float64, mesh=mesh)
+
+
+def fitness(e):
+    with mesh:
+        return gen.generate_and_evaluate(e, evaluation_samples=1)
+
+
+d = MultiHostDispatcher(inner=SerialDispatcher())
+assert d.process_count == 2
+fits = d.map(fitness, exprs)
+
+# Every host verifies the full gathered list against an UNSHARDED local
+# re-evaluation: mesh sharding and the host split must be semantically
+# invisible.
+gen0 = JaxProgramGenerator(problem, dtype=jnp.float64)
+for e, fit in zip(exprs, fits):
+    _, rho_ref, it_ref = gen0.generate_and_evaluate(e, evaluation_samples=1)
+    # Partitioned reductions reorder f64 sums: ~1e-5 relative noise over
+    # the power iteration is the expected SPMD floor, not a semantic gap.
+    assert abs(fit[1] - rho_ref) <= 1e-4 * max(1.0, abs(rho_ref)), (
+        f"process {pid}: rho {fit[1]} != {rho_ref}"
+    )
+    assert abs(int(fit[2]) - int(it_ref)) <= 1
+print(f"MULTIHOST_MESH_OK {pid}", flush=True)
+"""
+
+
+def test_multihost_dispatcher_with_host_local_mesh(tmp_path):
+    """The combined production topology — population dp over two real
+    jax.distributed processes, spatial sp sharding over each host's own
+    4-device mesh — evaluates through SPMD executables and allgathers
+    fitnesses identical to unsharded evaluation (P2 x N4 together)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+
+    worker = tmp_path / "multihost_mesh_worker.py"
+    worker.write_text(_MULTIHOST_MESH_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outputs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-2000:]}"
+        assert f"MULTIHOST_MESH_OK {pid}" in out
