@@ -30,18 +30,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _l2(state) -> jnp.ndarray:
-    total = None
-    for x in state:
-        s = jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2) if jnp.iscomplexobj(x) \
-            else jnp.sum(x * x)
-        total = s if total is None else total + s
-    return jnp.sqrt(total)
+from evostencils_tpu.ops.stencil_ops import l2_norm as _l2
 
 
 def _host_l2(state) -> float:
     return float(np.sqrt(sum(np.sum(np.abs(np.asarray(x)) ** 2) for x in state)))
+
+
+def _stage_loop(step, apply_a32, shapes, inner_cap, stall_ratio,
+                stage_reduction=None):
+    """The shared f32 inner-stage recurrence: smooth the error equation
+    A·e = r from zero until the stage target (when `stage_reduction` is
+    given), the iteration cap, divergence, or a stall (per-cycle
+    improvement worse than `stall_ratio`).  Returns run(fs, rs0) ->
+    (e, k, rn, prev_rn) — the single source of truth for the stopping
+    semantics used by both staged solvers and the floor probe."""
+
+    def run(fs, rs0):
+        e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+
+        def cond(c):
+            _, k, rn, prev = c
+            improving = jnp.logical_or(k < 2, rn < stall_ratio * prev)
+            keep = jnp.logical_and(
+                k < inner_cap, jnp.logical_and(jnp.isfinite(rn), improving)
+            )
+            if stage_reduction is not None:
+                keep = jnp.logical_and(keep, rn > stage_reduction * rs0)
+            return keep
+
+        def body(c):
+            e, k, rn, _ = c
+            e = step(e, fs)
+            new_rn = _l2(tuple(f - a for f, a in zip(fs, apply_a32(e))))
+            return e, k + 1, new_rn, rn
+
+        return jax.lax.while_loop(
+            cond, body, (e0, jnp.int32(0), rs0, jnp.float32(np.inf))
+        )
+
+    return run
 
 
 def build_staged_solver(
@@ -63,28 +91,13 @@ def build_staged_solver(
     prints); `host_residual(u64_np_tuple) -> r64_np_tuple` computes
     f − A·u in true host f64."""
 
+    run = _stage_loop(step, apply_a32, shapes, inner_cap, stall_ratio,
+                      stage_reduction)
+
     @jax.jit
     def stage(fs):
         rs0 = _l2(fs)
-        e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
-
-        def cond(c):
-            _, k, rn, prev = c
-            improving = jnp.logical_or(k < 2, rn < stall_ratio * prev)
-            return jnp.logical_and(
-                jnp.logical_and(rn > stage_reduction * rs0, k < inner_cap),
-                jnp.logical_and(jnp.isfinite(rn), improving),
-            )
-
-        def body(c):
-            e, k, rn, _ = c
-            e = step(e, fs)
-            new_rn = _l2(tuple(f - a for f, a in zip(fs, apply_a32(e))))
-            return e, k + 1, new_rn, rn
-
-        e, k, rn, _ = jax.lax.while_loop(
-            cond, body, (e0, jnp.int32(0), rs0, jnp.float32(np.inf))
-        )
+        e, k, rn, _ = run(fs, rs0)
         return e, k, rn / rs0
 
     def solve(f32_rhs, f64_rhs_np):
@@ -139,31 +152,16 @@ def build_fused_staged_solver(
 
     Returns solve(f32_rhs, f64_rhs_np) -> (cycles, rel_true, stages)."""
 
+    _run_stage = _stage_loop(step, apply_a32, shapes, inner_cap, stall_ratio,
+                             stage_reduction)
+
     @jax.jit
     def device_solve(f32_rhs, f64_rhs):
         r0 = _l2(f64_rhs)
 
         def inner(fs):
             rs0 = _l2(fs)
-            e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
-
-            def cond(c):
-                _, k, rn, prev = c
-                improving = jnp.logical_or(k < 2, rn < stall_ratio * prev)
-                return jnp.logical_and(
-                    jnp.logical_and(rn > stage_reduction * rs0, k < inner_cap),
-                    jnp.logical_and(jnp.isfinite(rn), improving),
-                )
-
-            def body(c):
-                e, k, rn, _ = c
-                e = step(e, fs)
-                new_rn = _l2(tuple(f - a for f, a in zip(fs, apply_a32(e))))
-                return e, k + 1, new_rn, rn
-
-            e, k, _, _ = jax.lax.while_loop(
-                cond, body, (e0, jnp.int32(0), rs0, jnp.float32(np.inf))
-            )
+            e, k, _, _ = _run_stage(fs, rs0)
             return e, k
 
         def outer_cond(c):
@@ -249,27 +247,12 @@ def build_floor_probe(
     improvement) so the predicted staged solver can size stages to the
     REAL floor."""
 
+    run = _stage_loop(step, apply_a32, shapes, inner_cap, stall_ratio)
+
     @jax.jit
     def probe(fs):
         rs0 = _l2(fs)
-        e0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
-
-        def cond(c):
-            _, k, rn, prev = c
-            improving = jnp.logical_or(k < 2, rn < stall_ratio * prev)
-            return jnp.logical_and(
-                jnp.logical_and(k < inner_cap, jnp.isfinite(rn)), improving
-            )
-
-        def body(c):
-            e, k, rn, _ = c
-            e = step(e, fs)
-            new_rn = _l2(tuple(f - a for f, a in zip(fs, apply_a32(e))))
-            return e, k + 1, new_rn, rn
-
-        _, k, rn, prev = jax.lax.while_loop(
-            cond, body, (e0, jnp.int32(0), rs0, jnp.float32(np.inf))
-        )
+        _, k, rn, prev = run(fs, rs0)
         return k, jnp.minimum(rn, prev) / rs0
 
     return probe

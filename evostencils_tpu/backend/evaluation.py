@@ -49,6 +49,12 @@ from evostencils_tpu.ops import stencil_ops as sops
 
 
 
+# A power-iteration rate of exactly 0.0 is an f32 underflow of a superb
+# cycle's error norm (machine-zero contraction within one measurement
+# block) — clamp to a finite, best-ordered value instead of poisoning.
+ZERO_RATE_CLAMP = 1e-16
+
+
 def _np_dtype(dtype):
     return np.dtype(jnp.dtype(dtype))
 
@@ -600,6 +606,29 @@ class JaxProgramGenerator:
         self._solver_cache[key] = (stage, power_handle, operator)
         return (stage, power_handle, operator), omega_arg, True
 
+    def _power_probe_state(self, expression):
+        """(u0, f, e0, zf) jit-ready probe states at the expression's
+        level: the shared initial state, a deterministic random error seed
+        (rng 7 — identical shapes/values wherever the power iteration is
+        compiled), and the zero right-hand side, all in (re, im) pair form
+        under complex I/O.  Single source of truth for the AOT-compiled
+        argument shapes of the vmapped/group power paths."""
+        u0_raw, f_raw = self.problem.initial_state(
+            self.dtype, level=self._expression_level(expression),
+            host=self._complex_io,
+        )
+        rng = np.random.default_rng(7)
+        np_dtype = _np_dtype(self.dtype)
+        e0 = self._state_to_realpairs(tuple(
+            rng.standard_normal(np.asarray(x).shape).astype(np_dtype)
+            for x in u0_raw
+        ))
+        zf = self._state_to_realpairs(tuple(
+            np.zeros(np.asarray(x).shape, dtype=np_dtype) for x in u0_raw
+        ))
+        return (self._state_to_realpairs(u0_raw),
+                self._state_to_realpairs(f_raw), e0, zf)
+
     def _vmapped_power(self, key, expression, bucket: int, n_omegas: int,
                        program_extras=None):
         """vmap the power iteration over a batch of relaxation-factor
@@ -615,21 +644,7 @@ class JaxProgramGenerator:
         power = self._power_fns[key]
         omega_axes = (None, 0, None) if program_extras is not None else 0
         vmapped = jax.jit(jax.vmap(power, in_axes=(None, None, omega_axes)))
-        u0, f = self.problem.initial_state(
-            self.dtype, level=self._expression_level(expression),
-            host=self._complex_io,
-        )
-        rng = np.random.default_rng(7)
-        np_dtype = np.dtype(jnp.dtype(self.dtype))
-        e0 = self._state_to_realpairs(
-            tuple(
-                rng.standard_normal(np.asarray(x).shape).astype(np_dtype)
-                for x in u0
-            )
-        )
-        zf = self._state_to_realpairs(
-            tuple(np.zeros(np.asarray(x).shape, dtype=np_dtype) for x in u0)
-        )
+        _, _, e0, zf = self._power_probe_state(expression)
         omegas = jnp.zeros((bucket, n_omegas), dtype=jnp.float32)
         if program_extras is not None:
             opcodes, length = program_extras
@@ -711,23 +726,7 @@ class JaxProgramGenerator:
                 key, expressions[0], bucket, mat.shape[1],
                 program_extras=(omega_arg0[0], omega_arg0[2]) if vm_mode else None,
             )
-            u0_raw, f_raw = self.problem.initial_state(
-                self.dtype, level=self._expression_level(expressions[0]),
-                host=self._complex_io,
-            )
-            u0 = self._state_to_realpairs(u0_raw)
-            f = self._state_to_realpairs(f_raw)
-            rng = np.random.default_rng(7)
-            np_dtype = np.dtype(jnp.dtype(self.dtype))
-            e0 = self._state_to_realpairs(
-                tuple(
-                    rng.standard_normal(np.asarray(x).shape).astype(np_dtype)
-                    for x in u0_raw
-                )
-            )
-            zf = self._state_to_realpairs(
-                tuple(np.zeros(np.asarray(x).shape, dtype=np_dtype) for x in u0_raw)
-            )
+            u0, f, e0, zf = self._power_probe_state(expressions[0])
             if vm_mode:
                 batch_omegas = (
                     jnp.asarray(omega_arg0[0]), jnp.asarray(mat),
@@ -752,7 +751,12 @@ class JaxProgramGenerator:
         t_iter_ms = None
         for i, rate in enumerate(rates):
             rate = float(rate)
-            if not math.isfinite(rate) or rate <= 0.0:
+            if rate == 0.0:
+                # f32 underflow of a superb cycle's power-iterate norm —
+                # machine-zero contraction, the best possible outcome, not
+                # an invalid measurement.
+                rate = ZERO_RATE_CLAMP
+            if not math.isfinite(rate) or rate < 0.0:
                 results.append((infinity, infinity, infinity))
                 continue
             if rate >= 1.0:
@@ -1086,9 +1090,16 @@ class JaxProgramGenerator:
             (stage_solve, power_solve, operator), omega_values, newly_compiled = (
                 self._build_solver(expression)
             )
-            u0, f = self.problem.initial_state(
-                self.dtype, level=self._expression_level(expression)
+            # Complex-I/O discipline: build states host-side and hand the
+            # pair-wrapped executables (re, im) arguments — materializing
+            # raw complex device buffers breaks the dev TPU session (see
+            # _wrap_complex_io) and the unpack inside the wrapper.
+            u0_raw, f_raw = self.problem.initial_state(
+                self.dtype, level=self._expression_level(expression),
+                host=self._complex_io,
             )
+            u0 = self._state_to_realpairs(u0_raw)
+            f = self._state_to_realpairs(f_raw)
             omegas = self._as_omega_arg(omega_values)
 
             is_f64 = _dtype_is_64bit(self.dtype)
@@ -1099,17 +1110,25 @@ class JaxProgramGenerator:
                 # includes a residual-norm computation, matching the real
                 # solve's per-iteration work).
                 rng = np.random.default_rng(7)
-                e0 = tuple(
-                    jnp.asarray(rng.standard_normal(x.shape), dtype=self.dtype)
-                    for x in u0
-                )
-                zf = tuple(jnp.zeros_like(x) for x in f)
+                np_dtype = _np_dtype(self.dtype)
+                e0 = self._state_to_realpairs(tuple(
+                    rng.standard_normal(np.asarray(x).shape).astype(np_dtype)
+                    for x in u0_raw
+                ))
+                zf = self._state_to_realpairs(tuple(
+                    np.zeros(np.asarray(x).shape, dtype=np_dtype)
+                    for x in u0_raw
+                ))
                 rate, _ = jax.block_until_ready(power_solve(e0, zf, omegas))
                 rate = float(jnp.real(rate))
                 self._consecutive_device_failures = 0
                 if newly_compiled:
                     self.compile_time_total += time.perf_counter() - t0
-                if not math.isfinite(rate) or rate <= 0.0:
+                if rate == 0.0:
+                    # Machine-zero contraction (see group path): clamp so
+                    # the log-based iteration count stays defined.
+                    rate = ZERO_RATE_CLAMP
+                if not math.isfinite(rate) or rate < 0.0:
                     return infinity, infinity, infinity
                 rho = rate
                 if rho >= 1.0:
@@ -1181,12 +1200,14 @@ class JaxProgramGenerator:
                 ):
                     break
                 try:
-                    r64 = self._host_residual(operator, best_u, rhs)
+                    r64 = self._host_residual(
+                        operator,
+                        self._pairs_to_host(best_u),
+                        self._pairs_to_host(rhs),
+                    )
                 except NotImplementedError:
                     break
-                rhs = tuple(
-                    jnp.asarray(r, dtype=self.dtype) for r in r64
-                )
+                rhs = self._host_state_to_args(r64)
             if newly_compiled:
                 self.compile_time_total += time.perf_counter() - t0
         except jax.errors.JaxRuntimeError:

@@ -90,17 +90,24 @@ class CycleLowering:
     # ------------------------------------------------------------------
 
     def _coefficient_planes(self, operator: base.Operator):
-        key = (id(operator.stencil_generator), operator.grid)
+        gen = operator.stencil_generator
+        grid = operator.grid
+        # Content key, not object identity: Problem.grid_at builds fresh
+        # Grid objects per individual (identity keys never re-hit and grow
+        # without bound), and a bare id(gen) can alias a recycled address
+        # after GC (see ir/transformations.py) — the cached strong
+        # reference to `gen` pins its id for the cache's lifetime.
+        key = (id(gen), grid.level, grid.size, grid.spacing)
         if key not in self._plane_cache:
-            offsets, planes = operator.stencil_generator.generate_coefficient_arrays(
-                operator.grid
-            )
+            offsets, planes = gen.generate_coefficient_arrays(grid)
             np_dtype = np.dtype(jnp.dtype(self.dtype))
             self._plane_cache[key] = (
+                gen,
                 offsets,
                 [np.asarray(p, dtype=np_dtype) for p in planes],
             )
-        return self._plane_cache[key]
+        _, offsets, planes = self._plane_cache[key]
+        return offsets, planes
 
     def entry_apply(self, entry, field):
         """Apply one scalar block entry of a system operator to a field."""

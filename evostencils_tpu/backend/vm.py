@@ -47,6 +47,7 @@ masked — a ~|ISA|× blowup.
 
 from __future__ import annotations
 
+import threading
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -118,6 +119,10 @@ class CycleVM:
         self._branches = [self._nop_branch()]
         self.isa_version = 0
         self.last_failure = None  # "not_translatable" | "pad_overflow"
+        # Lazy opcode registration happens from the threaded precompile
+        # pipeline: without the lock, two threads can bind an opcode key to
+        # another op's branch index (silently wrong execution).
+        self._op_lock = threading.Lock()
         self._preregister()
 
     # ------------------------------------------------------------------
@@ -134,11 +139,15 @@ class CycleVM:
         idx = self._op_index.get(key)
         if idx is not None:
             return idx
-        idx = len(self._branches)
-        self._branches.append(make_branch())
-        self._op_index[key] = idx
-        self.isa_version += 1
-        return idx
+        with self._op_lock:
+            idx = self._op_index.get(key)  # re-check under the lock
+            if idx is not None:
+                return idx
+            idx = len(self._branches)
+            self._branches.append(make_branch())
+            self._op_index[key] = idx
+            self.isa_version += 1
+            return idx
 
     def _level_index(self, expr) -> int:
         grids = expr.grid if isinstance(expr.grid, list) else [expr.grid]

@@ -135,6 +135,11 @@ def main():
                 for c, w in zip(cycles_list, omegas):
                     c.relaxation_factor = float(w)
                 name += " (tuned ω)"
+            else:
+                print(f"[warn] {path}: stored {len(omegas)} omegas but the "
+                      f"expression has {len(cycles_list)} cycles at this "
+                      f"level config — starting from the grammar string's "
+                      f"own relaxation factors", flush=True)
         candidates.append((name, expr))
 
     generator = JaxProgramGenerator(problem, dtype=getattr(jnp, args.dtype))
