@@ -27,12 +27,36 @@ import time
 BASELINE_EVALS_PER_HOUR = 90.0
 
 
+def _accelerator_reachable(timeout_s: int = 240) -> bool:
+    """Probe device init in a SUBPROCESS: a dead TPU tunnel HANGS
+    jax.devices() in C (uninterruptible from Python), so the only safe
+    probe is one we can kill.  False → the caller forces the CPU backend
+    and the bench still records a (slower, clearly-labeled) result
+    instead of nothing."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
 
     import jax
 
     from evostencils_tpu.utils import enable_persistent_compile_cache
+
+    if not _accelerator_reachable():
+        jax.config.update("jax_platforms", "cpu")
+        print("bench: accelerator unreachable, falling back to CPU",
+              flush=True)
 
     # Persistent XLA compile cache: amortizes warmup across bench runs.
     enable_persistent_compile_cache()
