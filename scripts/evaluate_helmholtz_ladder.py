@@ -88,7 +88,9 @@ def main():
     textbook_specs = [(2, 1, 0.6), (2, 2, 0.6)]
     for spec_str in args.textbook:
         parts = spec_str.split(",")
-        textbook_specs.append((int(parts[0]), int(parts[1]), float(parts[2])))
+        spec = (int(parts[0]), int(parts[1]), float(parts[2]))
+        if spec not in textbook_specs:  # defaults are always present
+            textbook_specs.append(spec)
     candidates = []
     grammar_strings = {}
     for pre, post, omega in textbook_specs:
