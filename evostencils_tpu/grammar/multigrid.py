@@ -245,7 +245,7 @@ class TypeUniverse:
         self.C_guard_h = fine("C_guard", "C_guard_2h", guard=True)
         self.x_h = fine("x", "x_2h")
         self.A_h = fine("A", "A_2h")
-        self.B_h = fine("A", "B_2h")
+        self.B_h = fine("B", "B_2h")
         self.R_h = Type(f"R_{depth}")
 
         c = depth + 1

@@ -31,7 +31,21 @@ def obtain_coarsest_level(cycle: base.Cycle) -> int:
             return tuple(gg.size for gg in g)
         return g.size
 
+    # The tree is a DAG (each Cycle's approximation is shared between its
+    # own link and its correction's Residual): without memoization the walk
+    # is 2^n in chained smoothing steps, which hangs near the 150-node cap.
+    memo = {}
+
     def descend(expression, current_size, current_level):
+        key = (id(expression), current_size, current_level)
+        cached = memo.get(key)
+        if cached is not None:
+            return cached
+        result = _descend(expression, current_size, current_level)
+        memo[key] = result
+        return result
+
+    def _descend(expression, current_size, current_level):
         if isinstance(expression, base.Cycle):
             if grid_size(expression) < current_size:
                 new_size, new_level = grid_size(expression), current_level + 1

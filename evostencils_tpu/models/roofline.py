@@ -160,12 +160,11 @@ class PerformanceEvaluator:
             return 0
         return max(c.number_of_entries for c in cells)
 
-    def _residual_cost(self, residual: base.Residual):
-        grid = residual.grid
+    def _matvec_cost(self, operator, grid):
+        """ops/words of one A·x application (no right-hand-side stream)."""
         n_fields = len(grid) if isinstance(grid, list) else 1
-        operator = residual.operator
         operations = 0
-        loads = n_fields  # rhs
+        loads = 0
         offset_union = [set() for _ in range(n_fields)]
         for row in operator.entries:
             for i, entry in enumerate(row):
@@ -182,8 +181,13 @@ class PerformanceEvaluator:
                         offset_union[i].add(offset)
         for s in offset_union:
             loads += len(s)
-        words = loads + n_fields  # + store
-        return operations, words
+        return operations, loads + n_fields  # + store
+
+    def _residual_cost(self, residual: base.Residual):
+        operations, words = self._matvec_cost(residual.operator, residual.grid)
+        grid = residual.grid
+        n_fields = len(grid) if isinstance(grid, list) else 1
+        return operations, words + n_fields  # + rhs stream
 
     def _smoother_cost(self, inverse_operand, residual: base.Residual):
         operations_r, words_r = self._residual_cost(residual)
@@ -377,7 +381,21 @@ class PerformanceEvaluator:
                     traffic
                     + self.compute_bytes(operations, words, operations * cells),
                 )
-            return self.estimate_runtime_and_traffic(expression.operand2)
+            if isinstance(op1, system.Operator):
+                # FAS τ-correction A_c·(R·u): a full operator matvec —
+                # previously dropped, leaving FAS cycles under-costed.
+                runtime, traffic = self._walk(expression.operand2, visited)
+                operations, words = self._matvec_cost(op1, expression.grid)
+                cells = self._cells(expression.grid)
+                return (
+                    runtime
+                    + self.compute_runtime(operations, words, operations * cells),
+                    traffic
+                    + self.compute_bytes(operations, words, operations * cells),
+                )
+            # Shared `visited` so subexpressions already costed by the
+            # caller are not double-counted.
+            return self._walk(expression.operand2, visited)
 
         if isinstance(expression, (base.Addition, base.Subtraction)):
             grid = expression.grid

@@ -114,10 +114,10 @@ def weights_to_stencils(weights: np.ndarray, offsets, dimension):
     return restriction, prolongation
 
 
-def build_two_grid_expression(problem, restriction_stencil, prolongation_stencil,
-                              pre_smoothing=1, post_smoothing=1, omega=0.8):
-    """Two-grid correction with parameterized transfers (the expression the
-    reference builds at intergrid_transfer.py:67-86)."""
+def two_grid_context(problem):
+    """Candidate-invariant pieces of the two-grid expression (sympy
+    equation expansion dominates; build once per optimization, not per
+    CMA-ES candidate)."""
     from evostencils_tpu.grammar import multigrid as mg
 
     approximation = problem.approximation()
@@ -132,6 +132,18 @@ def build_two_grid_expression(problem, restriction_stencil, prolongation_stencil
         problem.equations, problem.operators, problem.fields,
         problem.max_level - 1, 1, coarse_grid,
     )
+    return approximation, rhs, fine_grid, coarse_grid, operator, coarse_operator
+
+
+def build_two_grid_expression(problem, restriction_stencil, prolongation_stencil,
+                              pre_smoothing=1, post_smoothing=1, omega=0.8,
+                              context=None):
+    """Two-grid correction with parameterized transfers (the expression the
+    reference builds at intergrid_transfer.py:67-86)."""
+    if context is None:
+        context = two_grid_context(problem)
+    (approximation, rhs, fine_grid, coarse_grid, operator,
+     coarse_operator) = context
     restriction = system.Restriction(
         "R_opt",
         [
@@ -205,9 +217,12 @@ def optimize_intergrid_weights(
         samples_per_axis=samples_per_axis,
     )
 
+    context = two_grid_context(problem)
+
     def default_evaluate(weights) -> float:
         r_st, p_st = weights_to_stencils(weights, offsets, dimension)
-        expression = build_two_grid_expression(problem, r_st, p_st)
+        expression = build_two_grid_expression(problem, r_st, p_st,
+                                               context=context)
         rho = lfa.compute_spectral_radius(expression)
         invalidate_expression(expression)
         if rho == 0.0 or not math.isfinite(rho):

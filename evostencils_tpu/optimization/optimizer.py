@@ -430,8 +430,12 @@ class Optimizer:
                 return (rho, self.infinity)
             return (rho, t / iterations)
         if not math.isfinite(t) or t >= self.infinity:
+            # Same offset as evaluate_single_objective: every failure must
+            # rank strictly worse than any converged time-to-convergence,
+            # or grouped SOGP evaluation selects for divergence.
             return (
-                min(rho, self.infinity) ** 0.5
+                self.FAILURE_FITNESS_OFFSET
+                + min(rho, self.infinity) ** 0.5
                 * min(iterations, self.infinity) ** 0.5,
             )
         return (t,)
@@ -704,14 +708,18 @@ class Optimizer:
             )
             hof.update(offspring)
 
-            if checkpoint_frequency and gen % checkpoint_frequency == 0:
-                self._write_checkpoint(
-                    min_level, max_level, gen, solver_program, population, logbooks
-                )
-
             # (μ+λ) elitist selection
             population = select(population, min(mu_, len(population)))
             population = select(population + offspring, mu_)
+
+            if checkpoint_frequency and gen % checkpoint_frequency == 0:
+                # AFTER selection: the checkpoint labeled generation g must
+                # contain g's surviving offspring, or resume silently
+                # discards λ evaluated individuals (elitism makes the
+                # merged population a superset of the all-time best μ).
+                self._write_checkpoint(
+                    min_level, max_level, gen, solver_program, population, logbooks
+                )
             count += 1
             record = mstats.compile(population)
             logbook.record(
@@ -900,7 +908,11 @@ class Optimizer:
         # textually): evolving bottom-up gives every run its real coarse
         # solver, and the final solver is identical in structure.
         for i in reversed(range(0, levels, levels_per_run)):
-            min_level = self.max_level - (i + levels_per_run)
+            # Clamp the coarsest run when levels_per_run does not divide
+            # the span: the last run just covers fewer levels instead of
+            # reaching below the problem's min_level (grammar setup crash).
+            min_level = max(self.max_level - (i + levels_per_run),
+                            self.min_level)
             max_level = self.max_level - i
             approximation = approximations[i]
             rhs = right_hand_sides[i]
@@ -911,7 +923,7 @@ class Optimizer:
             self._grammar_config = dict(
                 enable_partitioning=enable_partitioning,
                 maximum_local_system_size=maximum_local_system_size,
-                depth=levels_per_run,
+                depth=max_level - min_level,
                 coarse_grid_solver_expression=coarse_solver_expression,
                 FAS=fas,
             )

@@ -119,6 +119,10 @@ def sel_tournament_dcd(individuals, k, rng: random.Random = random):
 
     chosen = []
     pool = list(individuals)
+    if len(pool) == 1:
+        # Degenerate population: the pairwise loop below would never
+        # append (infinite loop) — replicate the lone individual.
+        return [pool[0]] * k
     while len(chosen) < k:
         rng.shuffle(pool)
         for i in range(0, len(pool) - 1, 2):

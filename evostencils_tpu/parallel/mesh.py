@@ -42,6 +42,11 @@ def build_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None):
                 break
         dp = n // sp
     else:
+        if n % dp != 0:
+            raise ValueError(
+                f"dp={dp} does not divide the device count {n}; "
+                f"pick dp in {[d for d in range(1, n + 1) if n % d == 0]}"
+            )
         sp = n // dp
     return Mesh(devices.reshape(dp, sp), axis_names=("dp", "sp"))
 

@@ -208,12 +208,13 @@ def parse_exa2(
         equation_strings.append((eq_name, f"{lhs.strip()} == {rhs_name}"))
         rhs_order.append(rhs_name)
 
-    # Default intergrid operators per field (parsed `default
-    # restriction/prolongation` or synthesized when absent, as the
-    # reference's generate-solver does).
-    has_restriction = any(
-        kind == "restriction" for _, kind in _DEFAULT_OP.findall(text)
-    )
+    # Default intergrid operators per field.  The .exa2 grammar only ever
+    # declares `default restriction/prolongation ... with 'linear'` (no
+    # custom stencil bodies exist in the format), so full-weighting /
+    # multilinear generators are synthesized unconditionally — exactly the
+    # operators ExaStencils' generate-solver emits for those declarations
+    # (parity-tested in tests/test_aux.py).  Custom-named transfer
+    # operators are an .exa3 feature, handled by parse_exa3.
     cf = (2,) * dimension
     for i, field in enumerate(fields):
         operator_factories[f"gen_restriction_{field}"] = (
