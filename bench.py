@@ -47,8 +47,6 @@ def _accelerator_reachable(timeout_s: int = 240) -> bool:
 
 
 def main():
-    import os
-
     import jax
 
     from evostencils_tpu.utils import enable_persistent_compile_cache
@@ -128,11 +126,9 @@ def main():
     smoke = {"ran": False}
     if jax.devices()[0].platform == "tpu":
         try:
-            import sys as _sys
-
-            _sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "scripts"))
-            from tpu_smoke import run_smoke
+            # bench.py's own directory is sys.path[0] and scripts/ is a
+            # package — no path mutation needed.
+            from scripts.tpu_smoke import run_smoke
 
             smoke_failures = run_smoke(verbose=False)
             smoke = {"ran": True, "ok": not smoke_failures,

@@ -25,29 +25,11 @@ import time
 
 
 def measure_per_cycle(step, u0, f, iters=60):
-    """Fori-loop differencing ending in a SCALAR VALUE FETCH — on the
-    development tunnel, block_until_ready alone can return before remote
-    execution completes; only fetched values are reliable barriers."""
-    import jax
-    import jax.numpy as jnp
+    """Shared fori-loop-differencing routine (see utils/timing.py for the
+    value-fetch-barrier rationale); 7 repeats for calibration stability."""
+    from evostencils_tpu.utils.timing import per_cycle_time
 
-    def k_loop(n):
-        @jax.jit
-        def run(u, f):
-            out = jax.lax.fori_loop(0, n, lambda i, uu: step(uu, f), u)
-            return sum(jnp.sum(x * x) for x in out)
-
-        float(run(u0, f))
-        ts = []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            float(run(u0, f))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    t1 = k_loop(iters)
-    t3 = k_loop(3 * iters)
-    return max((t3 - t1) / (2 * iters), 1e-9)
+    return per_cycle_time(step, u0, f, iters=iters, repeats=7)
 
 
 def build_cases():

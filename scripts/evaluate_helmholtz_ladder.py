@@ -102,25 +102,19 @@ def main():
         candidates.append((name, expr))
         try:
             from evostencils_tpu.grammar.multigrid import textbook_cycle_string
+            from evostencils_tpu.utils.champions import omega_index
 
-            idx = max(0, min(36, round((omega - 0.1) / 0.05)))
             grammar_strings[name] = textbook_cycle_string(
-                tl, pre, post, omega_index=idx
+                tl, pre, post, omega_index=omega_index(omega)
             )
         except Exception:
             pass
-    for path in args.champion:
-        tree_string = None
-        omegas = None
-        with open(path) as fh:
-            for line in fh:
-                line = line.strip()
-                if line.startswith("# tuned omegas:"):
-                    import json
+    from evostencils_tpu.utils.champions import (
+        apply_stored_omegas, parse_champion_file,
+    )
 
-                    omegas = json.loads(line.split(":", 1)[1])
-                elif line and not line.startswith("#") and tree_string is None:
-                    tree_string = line
+    for path in args.champion:
+        tree_string, omegas = parse_champion_file(path)
         try:
             tree = gp.parse_tree(tree_string, pset)
             expr, _ = gp.compile_tree(tree, pset)
@@ -129,19 +123,8 @@ def main():
             continue
         name = path.rsplit("/", 1)[-1].replace(".txt", "")
         grammar_strings[name] = tree_string
-        if omegas is not None:
-            from evostencils_tpu.ir.transformations import collect_cycles
-
-            cycles_list = collect_cycles(expr)
-            if len(cycles_list) == len(omegas):
-                for c, w in zip(cycles_list, omegas):
-                    c.relaxation_factor = float(w)
-                name += " (tuned ω)"
-            else:
-                print(f"[warn] {path}: stored {len(omegas)} omegas but the "
-                      f"expression has {len(cycles_list)} cycles at this "
-                      f"level config — starting from the grammar string's "
-                      f"own relaxation factors", flush=True)
+        if apply_stored_omegas(expr, omegas, label=path):
+            name += " (tuned ω)"
         candidates.append((name, expr))
 
     generator = JaxProgramGenerator(problem, dtype=getattr(jnp, args.dtype))
@@ -170,9 +153,17 @@ def main():
                 durable = grammar_strings.get(name) or grammar_strings.get(
                     name.replace(" (tuned ω)", "")
                 )
+                if durable is None:
+                    # str(expr) is an IR repr, NOT a reloadable grammar
+                    # string — an artifact written from it would silently
+                    # lose hours of CMA-ES work at reload time.
+                    print(f"[warn] no grammar string for {name}; tuned "
+                          f"omegas printed above but no artifact written",
+                          flush=True)
+                    continue
                 with open(os.path.join(
                         args.save_tuned, f"{safe}_tuned.txt"), "w") as f:
-                    f.write((durable or str(expr)) + "\n")
+                    f.write(durable + "\n")
                     f.write(f"# tuned omegas: {[round(w, 4) for w in tuned]}\n")
                     f.write(f"# outer fitness at k={args.k}: {best}\n")
 

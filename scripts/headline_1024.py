@@ -23,52 +23,11 @@ Usage:
 """
 
 import argparse
-import json
 import sys
 import time
 
-
-def parse_champion_file(path):
-    tree_string = None
-    omegas = None
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            if line.startswith("# tuned omegas:"):
-                omegas = json.loads(line.split(":", 1)[1])
-            elif not line.startswith("#") and tree_string is None:
-                tree_string = line
-    return tree_string, omegas
-
-
-def per_cycle_time(step, u0, f, iters=100):
-    """Per-cycle device seconds via fori-loop differencing (removes the
-    tunnel dispatch constant).  The timed region ends in a SCALAR VALUE
-    FETCH: on the development tunnel, block_until_ready alone can return
-    before remote execution completes — only fetched values are
-    trustworthy timing barriers."""
-    import jax
-    import jax.numpy as jnp
-
-    def k_loop(n):
-        @jax.jit
-        def run(u, f):
-            out = jax.lax.fori_loop(0, n, lambda i, uu: step(uu, f), u)
-            return sum(jnp.sum(x * x) for x in out)
-
-        float(run(u0, f))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(run(u0, f))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    t1 = k_loop(iters)
-    t3 = k_loop(3 * iters)
-    return max((t3 - t1) / (2 * iters), 1e-9)
+from evostencils_tpu.utils.champions import parse_champion_file
+from evostencils_tpu.utils.timing import per_cycle_time
 
 
 def restart_time(apply_a64, u64, f64, iters=20):
@@ -181,18 +140,15 @@ def main():
         name = path.rsplit("/", 1)[-1].replace(".txt", "")
         if omegas is not None and not args.tune:
             # Write the stored tuned ω into the expression so BOTH the ρ
-            # measurement and the lowering see them (same order as
-            # tune_relaxation_factors / collect_cycles).
-            from evostencils_tpu.ir.transformations import collect_cycles
+            # measurement and the lowering see them; on a count mismatch
+            # the helper warns and keeps the grammar string's own factors
+            # (feeding a short vector to the parameterized lowering would
+            # silently clamp out-of-bounds ω indices).
+            from evostencils_tpu.utils.champions import apply_stored_omegas
 
-            cycles_list = collect_cycles(expr)
-            if len(cycles_list) == len(omegas):
-                for c, w in zip(cycles_list, omegas):
-                    c.relaxation_factor = float(w)
-                omegas = None
+            if apply_stored_omegas(expr, omegas, label=path):
                 name += " (tuned ω)"
-            else:
-                name += " (stored ω)"
+            omegas = None
         if args.tune:
             from evostencils_tpu.optimization.relaxation import (
                 tune_relaxation_factors,

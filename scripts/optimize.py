@@ -33,8 +33,8 @@ def main():
     parser.add_argument("--lambda", dest="lambda_", type=int, default=8)
     parser.add_argument("--generations", type=int, default=50)
     parser.add_argument("--generalization-interval", type=int, default=150)
-    parser.add_argument("--min-level", type=int, default=5)
-    parser.add_argument("--max-level", type=int, default=9)
+    parser.add_argument("--min-level", type=int, default=None)
+    parser.add_argument("--max-level", type=int, default=None)
     parser.add_argument("--levels-per-run", type=int, default=None)
     parser.add_argument("--evaluation-samples", type=int, default=3)
     parser.add_argument("--crossover-probability", type=float, default=0.7)
@@ -123,8 +123,8 @@ def main():
     if args.problem_file:
         problem = load_problem_file(args.problem_file, args.knowledge)
         problem = problem.with_levels(
-            args.min_level if args.min_level != 5 else problem.min_level,
-            args.max_level if args.max_level != 9 else problem.max_level,
+            args.min_level if args.min_level is not None else problem.min_level,
+            args.max_level if args.max_level is not None else problem.max_level,
         )
     elif args.problem == "helmholtz":
         from evostencils_tpu.problems.helmholtz import (
@@ -132,15 +132,19 @@ def main():
         )
 
         max_level = (
-            args.max_level if args.max_level != 9
+            args.max_level if args.max_level is not None
             else max_level_for_k(args.helmholtz_k0)
         )
         problem = helmholtz_2d(
-            min_level=args.min_level if args.min_level != 5 else 3,
+            min_level=args.min_level if args.min_level is not None else 3,
             max_level=max_level, k=args.helmholtz_k0,
         )
     else:
-        problem = build_named_problem(args.problem, args.min_level, args.max_level)
+        problem = build_named_problem(
+            args.problem,
+            args.min_level if args.min_level is not None else 5,
+            args.max_level if args.max_level is not None else 9,
+        )
     if args.no_outer and getattr(problem, "outer_solver", None):
         problem = problem._clone(outer_solver=None)
     elif args.outer_cap and getattr(problem, "outer_solver", None):
@@ -219,12 +223,14 @@ def main():
             problem.operators, problem.fields, depth=depth,
             maximum_local_system_size=args.max_local_system_size,
         )
+        from evostencils_tpu.utils.champions import omega_index
+
         for spec_str in args.seed_textbook:
             parts = spec_str.split(",")
             pre, post, omega = int(parts[0]), int(parts[1]), float(parts[2])
-            idx = max(0, min(36, round((omega - 0.1) / 0.05)))
             seed_individuals.append(
-                textbook_cycle_string(tl, pre, post, omega_index=idx)
+                textbook_cycle_string(tl, pre, post,
+                                      omega_index=omega_index(omega))
             )
 
     best, program, pops, logbooks, hofs = optimizer.evolutionary_optimization(
@@ -270,7 +276,10 @@ def main():
         expr, _ = gp.compile_tree(gp.parse_tree(best, optimizer._pset), optimizer._pset)
         t0v, rho0, it0 = generator.generate_and_evaluate(expr, evaluation_samples=3)
         tuned, _ = tune_relaxation_factors(expr, generator.problem)
-        generator._solver_cache.clear()
+        # No cache clear: the solver cache is keyed with parameterized
+        # relaxation and omega values are re-read from the expression on
+        # every lookup, so the tuned re-measurement reuses the compiled
+        # executable.
         t1v, rho1, it1 = generator.generate_and_evaluate(expr, evaluation_samples=3)
         print(f"Gradient-tuned relaxation factors: rho {rho0:.4f} -> {rho1:.4f}, "
               f"iterations {it0} -> {it1}")

@@ -65,7 +65,8 @@ def main():
     seen = set()
     out = []
     for score, rho, path in scored:
-        tree = open(path).readline().strip()
+        with open(path) as fh:
+            tree = fh.readline().strip()
         if tree in seen:
             continue
         seen.add(tree)
@@ -76,7 +77,8 @@ def main():
         if args.champion_args:
             print(f"--champion {path}", end=" ")
         else:
-            print(f"{path}\t{score:.3f}\t{rho:.4f}", file=sys.stderr)
+            rho_str = "n/a" if math.isnan(rho) else f"{rho:.4f}"
+            print(f"{path}\t{score:.3f}\t{rho_str}", file=sys.stderr)
             print(path)
     if args.champion_args:
         print()
