@@ -116,3 +116,44 @@ class TestProfiling:
         out = bandwidth_utilization(cycle, 1e-3)
         assert out["modeled_bytes"] > 0
         assert out["achieved_GBps"] > 0
+
+
+def test_champion_helpers_roundtrip(tmp_path):
+    """parse_champion_file + apply_stored_omegas: stored omegas apply in
+    collect_cycles order when counts match, warn-and-keep otherwise."""
+    import jax.numpy as jnp
+
+    from evostencils_tpu.grammar.multigrid import generate_primitive_set
+    from evostencils_tpu.ir.reference_cycles import generate_v_cycle
+    from evostencils_tpu.ir.transformations import collect_cycles
+    from evostencils_tpu.problems.poisson import poisson_2d
+    from evostencils_tpu.utils.champions import (
+        apply_stored_omegas, omega_index, parse_champion_file,
+    )
+
+    p = tmp_path / "champ.txt"
+    p.write_text("# comment first\nsome_tree_string(u_and_f)\n"
+                 "# tuned omegas: [0.8, 1.2]\n")
+    tree, omegas = parse_champion_file(str(p))
+    assert tree == "some_tree_string(u_and_f)"
+    assert omegas == [0.8, 1.2]
+
+    problem = poisson_2d(min_level=3, max_level=5, dtype=jnp.float64)
+    _, tl = generate_primitive_set(
+        problem.approximation(), problem.rhs(), 2, problem.coarsening_factors,
+        5, problem.equations, problem.operators, problem.fields, depth=2,
+    )
+    expr = generate_v_cycle(tl, problem.rhs(), 2, 1, omega=0.6)
+    n = len(collect_cycles(expr))
+    good = [0.5 + 0.01 * i for i in range(n)]
+    assert apply_stored_omegas(expr, good, label="t") is True
+    assert [c.relaxation_factor for c in collect_cycles(expr)] == good
+    # Mismatched count: refused, factors unchanged.
+    assert apply_stored_omegas(expr, [0.9], label="t") is False
+    assert [c.relaxation_factor for c in collect_cycles(expr)] == good
+    assert apply_stored_omegas(expr, None) is False
+
+    assert omega_index(0.1) == 0
+    assert omega_index(1.9) == 36
+    assert omega_index(0.6) == 10
+    assert omega_index(-5.0) == 0 and omega_index(99.0) == 36
