@@ -72,6 +72,10 @@ def main():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--dtype", default=None,
+                        help="override the problem dtype (e.g. complex128 "
+                             "with --cpu to evolve at the reference's "
+                             "double precision; 64-bit dtypes enable x64)")
     parser.add_argument("--outer-cap", type=int, default=None,
                         help="override the outer Krylov iteration cap during "
                              "evolution (e.g. 600 at k=80: converging "
@@ -152,6 +156,13 @@ def main():
             outer_solver=dict(problem.outer_solver,
                               max_iterations=args.outer_cap)
         )
+    if args.dtype:
+        import jax.numpy as jnp
+
+        if "64" in args.dtype or "128" in args.dtype:
+            jax.config.update("jax_enable_x64", True)
+        problem = problem._clone(dtype=getattr(jnp, args.dtype))
+
     output_dir = args.output or f"results_{problem.name}"
     os.makedirs(output_dir, exist_ok=True)
 
