@@ -43,6 +43,10 @@ def main():
     parser.add_argument("--save-tuned", default=None, metavar="DIR",
                         help="write tuned candidates as grammar+ω artifacts "
                              "into DIR")
+    parser.add_argument("--no-default-textbooks", action="store_true",
+                        help="skip the built-in V(2,1)/V(2,2) baselines "
+                             "(e.g. when tuning only champions; tuned "
+                             "textbook artifacts reload via --champion)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dtype", default="complex64",
                         choices=["complex64", "complex128"],
@@ -85,7 +89,8 @@ def main():
         maximum_local_system_size=8,
     )
 
-    textbook_specs = [(2, 1, 0.6), (2, 2, 0.6)]
+    textbook_specs = [] if args.no_default_textbooks else [(2, 1, 0.6),
+                                                           (2, 2, 0.6)]
     for spec_str in args.textbook:
         parts = spec_str.split(",")
         spec = (int(parts[0]), int(parts[1]), float(parts[2]))
