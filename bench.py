@@ -27,23 +27,46 @@ import time
 BASELINE_EVALS_PER_HOUR = 90.0
 
 
-def _accelerator_reachable(timeout_s: int = 240) -> bool:
+def _accelerator_probe(attempts: int = 3, timeout_s: int = 240,
+                       backoff_s: float = 120.0):
     """Probe device init in a SUBPROCESS: a dead TPU tunnel HANGS
     jax.devices() in C (uninterruptible from Python), so the only safe
-    probe is one we can kill.  False → the caller forces the CPU backend
-    and the bench still records a (slower, clearly-labeled) result
-    instead of nothing."""
+    probe is one we can kill.  Retries with backoff (a tunnel can come
+    back) and records per-attempt diagnostics so a CPU-fallback bench
+    explains WHY the accelerator was unreachable (round-3 weakness: a
+    single silent 240 s probe).  Returns ``(reachable, diagnostics)``."""
     import subprocess
     import sys
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    diags = []
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices();"
+                 "print(d[0].platform, len(d))"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            dt = round(time.perf_counter() - t0, 1)
+            if proc.returncode == 0:
+                diags.append({"attempt": i + 1, "ok": True,
+                              "elapsed_s": dt,
+                              "devices": proc.stdout.strip()[-80:]})
+                return True, diags
+            diags.append({"attempt": i + 1, "ok": False, "elapsed_s": dt,
+                          "rc": proc.returncode,
+                          "stderr": proc.stderr[-200:]})
+        except subprocess.TimeoutExpired:
+            diags.append({"attempt": i + 1, "ok": False,
+                          "elapsed_s": timeout_s,
+                          "error": "timeout: jax.devices() hung "
+                                   "(dead TPU tunnel?)"})
+        if i < attempts - 1:
+            print(f"bench: device probe attempt {i + 1}/{attempts} failed, "
+                  f"retrying in {backoff_s:.0f}s", flush=True)
+            time.sleep(backoff_s)
+    return False, diags
 
 
 def main():
@@ -51,10 +74,12 @@ def main():
 
     from evostencils_tpu.utils import enable_persistent_compile_cache
 
-    if not _accelerator_reachable():
+    reachable, probe_diags = _accelerator_probe()
+    if not reachable:
         jax.config.update("jax_platforms", "cpu")
-        print("bench: accelerator unreachable, falling back to CPU",
-              flush=True)
+        print(f"bench: accelerator unreachable after "
+              f"{len(probe_diags)} probe attempts, falling back to CPU: "
+              f"{probe_diags}", flush=True)
 
     # Persistent XLA compile cache: amortizes warmup across bench runs.
     enable_persistent_compile_cache()
@@ -149,6 +174,8 @@ def main():
                     "best_rho": round(best_rho, 5),
                     "elapsed_s": round(elapsed, 2),
                     "platform": jax.devices()[0].platform,
+                    "device_probe": {"reachable": reachable,
+                                     "attempts": probe_diags},
                     # Fraction of solver builds that took the compile-free
                     # cycle-VM path (robustness: VM-path individuals don't
                     # pay the ~4-5 s/structure tunnel compile).

@@ -166,6 +166,47 @@ def uniform_reference_points(n_obj: int, p: int) -> np.ndarray:
     return np.array(gen([], p, p, 0))
 
 
+def normalize_deb_jain(fits: np.ndarray) -> np.ndarray:
+    """Deb & Jain (2014) adaptive normalization for NSGA-III.
+
+    Exact construction (reference delegates to deap.tools.selNSGA3, used at
+    reference optimization/program.py:720-768): translate by the ideal
+    point, locate one extreme point per objective via the achievement
+    scalarizing function (axis weights with 1e-6 elsewhere), then solve for
+    the hyperplane through the extreme points and normalize by its axis
+    intercepts.  Falls back to the per-objective pool maximum (nadir
+    estimate) when the extreme-point system is degenerate — singular
+    matrix, non-finite or non-positive intercepts — as prescribed by the
+    paper and standard implementations.
+    """
+    fits = np.asarray(fits, dtype=float)
+    ideal = fits.min(axis=0)
+    translated = fits - ideal
+    n_obj = fits.shape[1]
+
+    weights = np.full((n_obj, n_obj), 1e-6)
+    np.fill_diagonal(weights, 1.0)
+    # asf[j, i] = max_m translated[i, m] / weights[j, m]
+    asf = (translated[None, :, :] / weights[:, None, :]).max(axis=2)
+    extreme_idx = asf.argmin(axis=1)
+    extremes = translated[extreme_idx]
+
+    nadir = translated.max(axis=0)
+    nadir = np.where(nadir > 0, nadir, 1.0)
+    intercepts = None
+    try:
+        plane = np.linalg.solve(extremes, np.ones(n_obj))
+        with np.errstate(divide="ignore", over="ignore"):
+            candidate = 1.0 / plane
+        if np.all(np.isfinite(candidate)) and np.all(candidate > 1e-12):
+            intercepts = candidate
+    except np.linalg.LinAlgError:
+        pass
+    if intercepts is None:
+        intercepts = nadir
+    return translated / intercepts
+
+
 def sel_nsga3(individuals, k, ref_points: np.ndarray, rng: random.Random = random):
     """NSGA-III niching selection (Deb & Jain 2014), minimization."""
     fronts = sort_nondominated(individuals, k)
@@ -184,13 +225,7 @@ def sel_nsga3(individuals, k, ref_points: np.ndarray, rng: random.Random = rando
     pool = chosen + last_front
     fits = np.array([ind.fitness_values for ind in pool], dtype=float)
     fits = np.where(np.isfinite(fits), fits, 1e18)
-    ideal = fits.min(axis=0)
-    translated = fits - ideal
-    # Normalize by the per-objective max over the pool (robust simplification
-    # of the extreme-point/intercept construction).
-    scale = translated.max(axis=0)
-    scale[scale <= 0] = 1.0
-    normalized = translated / scale
+    normalized = normalize_deb_jain(fits)
 
     norms = np.linalg.norm(ref_points, axis=1, keepdims=True)
     directions = ref_points / np.where(norms > 0, norms, 1.0)

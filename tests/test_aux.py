@@ -2,6 +2,7 @@
 checkpoint resume, selection operators."""
 
 import os
+import random
 
 import jax.numpy as jnp
 import numpy as np
@@ -280,3 +281,70 @@ class TestSelection:
         pts = uniform_reference_points(2, 4)
         assert pts.shape == (5, 2)
         np.testing.assert_allclose(pts.sum(axis=1), 1.0)
+
+    def test_deb_jain_intercepts_exact(self):
+        # Points exactly on the hyperplane x/2 + y/1000 = 1: the extreme-
+        # point/intercept construction must recover intercepts (2, 1000),
+        # i.e. every normalized point sums to 1.
+        from evostencils_tpu.optimization.selection import normalize_deb_jain
+
+        t = np.linspace(0.0, 1.0, 9)
+        fits = np.stack([2.0 * t, 1000.0 * (1.0 - t)], axis=1)
+        normalized = normalize_deb_jain(fits)
+        np.testing.assert_allclose(normalized.sum(axis=1), 1.0, atol=1e-12)
+        np.testing.assert_allclose(normalized[-1], [1.0, 0.0], atol=1e-12)
+        np.testing.assert_allclose(normalized[0], [0.0, 1.0], atol=1e-12)
+
+    def test_deb_jain_ignores_dominated_outlier(self):
+        # A dominated outlier inflates the per-objective pool max (the old
+        # simplified scale) by 5x but must NOT move the hyperplane
+        # intercepts, which are defined by the ASF extreme points.
+        from evostencils_tpu.optimization.selection import normalize_deb_jain
+
+        t = np.linspace(0.0, 1.0, 9)
+        front = np.stack([2.0 * t, 1e6 * (1.0 - t)], axis=1)
+        outlier = np.array([[1.8, 5e6]])  # dominated by front point (1.75, 1.25e5)
+        fits = np.vstack([front, outlier])
+        normalized = normalize_deb_jain(fits)
+        # intercepts stay (2, 1e6): front still sums to 1, outlier exceeds it
+        np.testing.assert_allclose(normalized[:9].sum(axis=1), 1.0, atol=1e-9)
+        assert normalized[-1, 1] > 4.0  # 5e6 / 1e6, not 5e6 / 5e6 = 1
+        # the old per-max simplification would have scaled the front's y
+        # down to <= 0.2 instead
+        per_max = fits / fits.max(axis=0)
+        assert per_max[:9, 1].max() <= 0.2 + 1e-12
+
+    def test_deb_jain_degenerate_fallback(self):
+        # Singular extreme-point system (flat objective) falls back to the
+        # per-objective nadir without NaN/inf.
+        from evostencils_tpu.optimization.selection import normalize_deb_jain
+
+        fits = np.array([[1.0, 5.0], [2.0, 5.0], [3.0, 5.0]])
+        normalized = normalize_deb_jain(fits)
+        assert np.all(np.isfinite(normalized))
+        np.testing.assert_allclose(normalized[:, 0], [0.0, 0.5, 1.0])
+        np.testing.assert_allclose(normalized[:, 1], 0.0)
+
+    def test_nsga3_niching_spread_on_skew_front(self):
+        # On a badly-scaled front (objective scales 2 vs 1e6) the exact
+        # normalization must still spread selection across the whole front.
+        from evostencils_tpu.grammar.gp import Terminal, Tree
+        from evostencils_tpu.optimization.selection import (
+            sel_nsga3, uniform_reference_points)
+
+        def ind(name, fit):
+            tree = Tree([Terminal(name, None, 1)])
+            tree.fitness_values = fit
+            return tree
+
+        t = np.linspace(0.0, 1.0, 17)
+        pop = [ind(f"p{i}", (2.0 * ti, 1e6 * (1.0 - ti)))
+               for i, ti in enumerate(t)]
+        ref = uniform_reference_points(2, 4)
+        chosen = sel_nsga3(pop, 5, ref, rng=random.Random(7))
+        chosen_t = sorted(ind.fitness_values[0] / 2.0 for ind in chosen)
+        assert len(chosen) == 5
+        assert chosen_t[0] < 0.15 and chosen_t[-1] > 0.85
+        # niches are distinct: consecutive picks are well separated
+        gaps = np.diff(chosen_t)
+        assert gaps.min() > 0.05
