@@ -145,6 +145,34 @@ def main():
     converged = sum(1 for _, rho, _ in results if rho < 1.0)
     best_rho = min(rho for _, rho, _ in results)
 
+    # Champion path: also evaluate the stored round-2 tuned champion so
+    # the driver-recorded artifact certifies a CONVERGING evaluation path
+    # (random depth-4 trees top out at rho≈0.43; VM/prescreen regressions
+    # that only bite good individuals would otherwise ship silently).
+    champion = {"ran": False}
+    try:
+        import os
+
+        from evostencils_tpu.utils.champions import (
+            apply_stored_omegas, parse_champion_file)
+
+        champ_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artifacts", "poisson2d_champion_r2_tuned.txt")
+        tree_str, omegas = parse_champion_file(champ_path)
+        expr, _ = gp.compile_tree(gp.parse_tree(tree_str, pset), pset)
+        apply_stored_omegas(expr, omegas, label="bench champion")
+        t0 = time.perf_counter()
+        t_ms, rho, iters = generator.generate_and_evaluate(
+            expr, evaluation_samples=3)
+        champion = {"ran": True, "rho": round(rho, 5),
+                    "iterations": iters,
+                    "time_to_target_ms": round(t_ms, 3),
+                    "eval_s": round(time.perf_counter() - t0, 2),
+                    "converged": bool(rho < 0.2)}
+    except Exception as e:  # never let the champion path kill the bench
+        champion = {"ran": False, "error": repr(e)[:200]}
+
     # Certify on-device kernel numerics in the same run that reports
     # throughput (round-2 weakness: tpu_smoke.py was manual-only, so a
     # hardware numerics regression would ship silently).
@@ -176,6 +204,7 @@ def main():
                     "platform": jax.devices()[0].platform,
                     "device_probe": {"reachable": reachable,
                                      "attempts": probe_diags},
+                    "champion": champion,
                     # Fraction of solver builds that took the compile-free
                     # cycle-VM path (robustness: VM-path individuals don't
                     # pay the ~4-5 s/structure tunnel compile).
