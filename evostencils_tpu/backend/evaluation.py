@@ -155,6 +155,11 @@ class JaxProgramGenerator:
         self._timer_cache = {}
         self.run_time_total = 0.0
         self.compile_time_total = 0.0
+        # Optional RHS seed for sample-spread re-measurement: when set,
+        # initial states use a seeded random right-hand side (randomized
+        # initial error content; see Problem.initial_state).  The solver
+        # cache is unaffected — only the runtime arguments change.
+        self.rhs_seed = None
         self._level_offset = 0
         self._consecutive_device_failures = 0
         # Cycle-VM observability: how many solver builds took the
@@ -268,7 +273,7 @@ class JaxProgramGenerator:
         (complex states become (re, im) pairs under complex I/O mode)."""
         u0, f = self.problem.initial_state(
             self.dtype, level=self._expression_level(expression),
-            host=self._complex_io,
+            host=self._complex_io, rhs_seed=self.rhs_seed,
         )
         return self._state_to_realpairs(u0), self._state_to_realpairs(f)
 
@@ -615,7 +620,7 @@ class JaxProgramGenerator:
         argument shapes of the vmapped/group power paths."""
         u0_raw, f_raw = self.problem.initial_state(
             self.dtype, level=self._expression_level(expression),
-            host=self._complex_io,
+            host=self._complex_io, rhs_seed=self.rhs_seed,
         )
         rng = np.random.default_rng(7)
         np_dtype = _np_dtype(self.dtype)
@@ -1096,7 +1101,7 @@ class JaxProgramGenerator:
             # _wrap_complex_io) and the unpack inside the wrapper.
             u0_raw, f_raw = self.problem.initial_state(
                 self.dtype, level=self._expression_level(expression),
-                host=self._complex_io,
+                host=self._complex_io, rhs_seed=self.rhs_seed,
             )
             u0 = self._state_to_realpairs(u0_raw)
             f = self._state_to_realpairs(f_raw)
@@ -1296,7 +1301,8 @@ class JaxProgramGenerator:
             is_complex = _dtype_is_complex(self.dtype)
             np_acc = np.complex128 if is_complex else np.float64
             u0_host, f_host = self.problem.initial_state(
-                self.dtype, level=self._expression_level(expression), host=True
+                self.dtype, level=self._expression_level(expression), host=True,
+                rhs_seed=self.rhs_seed,
             )
             f64 = tuple(np.asarray(x, np_acc) for x in f_host)
             res0_true = math.sqrt(

@@ -613,6 +613,7 @@ def textbook_cycle_string(
     cgc_omega_index=18,
     partitioning_name="red_black",
     smoother_name="collective_jacobi",
+    FAS=False,
 ) -> str:
     """Grammar STRING of the textbook V(pre, post) cycle over the full
     hierarchy — the derivation the grammar itself would need to discover.
@@ -622,8 +623,19 @@ def textbook_cycle_string(
     cluster, μ=λ=128×150, reference optimization/program.py:770; seeding
     recovers that head start at single-chip budgets).  `omega_index`
     indexes the rf_i grid np.linspace(0.1, 1.9, 37): ω = 0.1 + 0.05·i.
+
+    With ``FAS=True`` the string targets the nonlinear grammar: the
+    default smoother becomes ``jacobi_picard`` (same arity as
+    collective_jacobi) and ``update_with_coarse_grid_correction`` gains
+    the trailing restriction operator the FAS τ-correction requires
+    (reference grammar/multigrid.py:368-375).
     """
+    if FAS and smoother_name == "collective_jacobi":
+        smoother_name = "jacobi_picard"
     depth = len(terminal_list)
+    # jacobi_newton takes an extra NewtonSteps terminal between the
+    # partitioning and the state (grammar registration above).
+    smoother_extra = ",newton_2" if smoother_name == "jacobi_newton" else ""
 
     def rec(d, state, is_correction_state):
         t = terminal_list[d]
@@ -634,7 +646,8 @@ def textbook_cycle_string(
             if not c_state:
                 state = f"residual_{d}({state})"
             state = (
-                f"{smoother_name}_{d}(rf_{omega_index},{partitioning_name},{state})"
+                f"{smoother_name}_{d}(rf_{omega_index},{partitioning_name}"
+                f"{smoother_extra},{state})"
             )
             c_state = False
         if not c_state:
@@ -647,14 +660,15 @@ def textbook_cycle_string(
         else:
             coarse = f"coarsening_{d}(A_{d + 1},zero_{d + 1},{r_name},{state})"
             coarse_solved = rec(d + 1, coarse, True)
+            fas_tail = f",{r_name}" if FAS else ""
             state = (
                 f"update_with_coarse_grid_correction_{d}(rf_{cgc_omega_index},"
-                f"{p_name},{coarse_solved})"
+                f"{p_name},{coarse_solved}{fas_tail})"
             )
         for _ in range(post_smoothing):
             state = (
-                f"{smoother_name}_{d}(rf_{omega_index},{partitioning_name},"
-                f"residual_{d}({state}))"
+                f"{smoother_name}_{d}(rf_{omega_index},{partitioning_name}"
+                f"{smoother_extra},residual_{d}({state}))"
             )
         return state
 

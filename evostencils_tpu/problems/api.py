@@ -136,7 +136,8 @@ class Problem:
             out.append(arr if host else jnp.asarray(arr))
         return tuple(out)
 
-    def initial_state(self, dtype, level: Optional[int] = None, host: bool = False):
+    def initial_state(self, dtype, level: Optional[int] = None, host: bool = False,
+                      rhs_seed: Optional[int] = None):
         """(u0, f): zero initial guess, evaluated right-hand side.
 
         With a zero RHS the residual would be identically zero, so problems
@@ -144,12 +145,24 @@ class Problem:
         equivalent for convergence-factor measurement.  `host=True` keeps
         everything in numpy (needed when complex arrays must not be
         materialized as device buffers).
+
+        ``rhs_seed`` forces a seeded random right-hand side even when the
+        problem has physical RHS functions: with a zero initial guess the
+        error is -A⁻¹f, so sweeping the seed randomizes the initial error
+        content — the sample-spread protocol for measured convergence
+        factors (the reference's 20-sample final re-eval,
+        optimization/program.py:928, re-runs the solver binary per sample).
         """
         grids = self.finest_grid if level is None else self.grid_at(level)
         shapes = [g.interior_shape for g in grids]
         np_dtype = np.dtype(jnp.dtype(dtype))
         u0 = tuple(np.zeros(s, dtype=np_dtype) for s in shapes)
-        if self.rhs_functions is not None:
+        if rhs_seed is not None:
+            rng = np.random.default_rng(rhs_seed)
+            f = tuple(
+                rng.standard_normal(s).astype(np_dtype) for s in shapes
+            )
+        elif self.rhs_functions is not None:
             f = self.rhs_arrays(dtype, level=level, host=True)
         else:
             rng = np.random.default_rng(42)

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""N-sample re-measurement of stored champion artifacts.
+
+Mirrors the reference's final re-evaluation discipline (reference
+optimization/program.py:928: hall-of-fame individuals are re-measured
+with 20 evaluation samples before any number is published).  For each
+champion artifact this script
+
+  * parses the grammar string and stored tuned relaxation factors
+    (utils/champions.py format),
+  * evaluates ``--samples`` independent measurements; each sample uses a
+    DISTINCT seeded random right-hand side (``rhs_seed``), so the spread
+    of the measured convergence factor reflects initial-error content
+    (with a zero initial guess the error is -A⁻¹f) and the spread of the
+    timing reflects machine noise,
+  * reports min/median/max for measured ρ, time-to-target and iteration
+    count, with and without the stored tuned ω.
+
+Example (the round-3 elasticity champion, VERDICT round-3 item 8):
+
+  python scripts/champion_stats.py \
+      artifacts/secondary_r3/elasticity_individual_0_tuned.txt \
+      --problem elasticity --min-level 5 --max-level 8 --samples 20
+"""
+
+import argparse
+import json
+import statistics
+import sys
+
+
+def _stats(values):
+    finite = [v for v in values if v < 1e50]
+    if not finite:
+        return {"n": 0, "all_failed": True}
+    return {
+        "n": len(finite),
+        "min": min(finite),
+        "median": statistics.median(finite),
+        "max": max(finite),
+        "failed": len(values) - len(finite),
+    }
+
+
+def measure(generator, expr, samples, base_seed=1000):
+    """Per-sample (time_ms, rho, iterations) lists over seeded RHS."""
+    times, rhos, its = [], [], []
+    for s in range(samples):
+        generator.rhs_seed = base_seed + s
+        t, rho, n = generator.generate_and_evaluate(expr, evaluation_samples=1)
+        times.append(float(t))
+        rhos.append(float(rho))
+        its.append(int(n) if n < 1e18 else n)
+    generator.rhs_seed = None
+    return times, rhos, its
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("champions", nargs="+",
+                        help="champion artifact files (grammar string + "
+                             "optional '# tuned omegas: [...]' line)")
+    parser.add_argument("--problem", default="poisson2d")
+    parser.add_argument("--min-level", type=int, default=5)
+    parser.add_argument("--max-level", type=int, default=9)
+    parser.add_argument("--samples", type=int, default=20)
+    parser.add_argument("--max-local-system-size", type=int, default=8)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--dtype", default=None)
+    parser.add_argument("--json", default=None, help="also write a JSON report")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from evostencils_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    import jax.numpy as jnp
+
+    from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+    from evostencils_tpu.grammar import gp
+    from evostencils_tpu.grammar.multigrid import generate_primitive_set
+    from evostencils_tpu.problems import build_named_problem
+    from evostencils_tpu.utils.champions import (apply_stored_omegas,
+                                                 parse_champion_file)
+
+    problem = build_named_problem(args.problem, args.min_level, args.max_level)
+    if args.dtype:
+        if "64" in args.dtype or "128" in args.dtype:
+            jax.config.update("jax_enable_x64", True)
+        problem = problem._clone(dtype=getattr(jnp, args.dtype))
+    pset, _ = generate_primitive_set(
+        problem.approximation(), problem.rhs(), problem.dimension,
+        problem.coarsening_factors, problem.max_level, problem.equations,
+        problem.operators, problem.fields,
+        depth=problem.max_level - problem.min_level,
+        maximum_local_system_size=args.max_local_system_size,
+    )
+    generator = JaxProgramGenerator(problem)
+
+    report = {"problem": args.problem,
+              "levels": [args.min_level, args.max_level],
+              "samples": args.samples,
+              "platform": jax.devices()[0].platform,
+              "champions": []}
+    for path in args.champions:
+        tree_str, omegas = parse_champion_file(path)
+        entry = {"file": path, "has_stored_omegas": omegas is not None}
+        for label, use_omegas in (("untuned", False), ("tuned", True)):
+            if use_omegas and omegas is None:
+                continue
+            expr, _ = gp.compile_tree(gp.parse_tree(tree_str, pset), pset)
+            if use_omegas and not apply_stored_omegas(expr, omegas, label=path):
+                continue
+            times, rhos, its = measure(generator, expr, args.samples)
+            entry[label] = {
+                "rho": _stats(rhos),
+                "time_to_target_ms": _stats(times),
+                "iterations": _stats([float(i) for i in its]),
+            }
+            r = entry[label]["rho"]
+            t = entry[label]["time_to_target_ms"]
+            print(f"{path} [{label}] n={args.samples}: "
+                  f"rho min/med/max = {r.get('min', float('nan')):.4f}/"
+                  f"{r.get('median', float('nan')):.4f}/"
+                  f"{r.get('max', float('nan')):.4f}; "
+                  f"time-to-target med {t.get('median', float('nan')):.1f} ms",
+                  flush=True)
+        report["champions"].append(entry)
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"report written to {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

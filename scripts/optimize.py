@@ -228,11 +228,13 @@ def main():
         )
 
         depth = problem.max_level - problem.min_level
+        fas = bool(getattr(problem, "uses_fas", False))
         _, tl = generate_primitive_set(
             problem.approximation(), problem.rhs(), problem.dimension,
             problem.coarsening_factors, problem.max_level, problem.equations,
             problem.operators, problem.fields, depth=depth,
             maximum_local_system_size=args.max_local_system_size,
+            FAS=fas,
         )
         from evostencils_tpu.utils.champions import omega_index
 
@@ -241,7 +243,8 @@ def main():
             pre, post, omega = int(parts[0]), int(parts[1]), float(parts[2])
             seed_individuals.append(
                 textbook_cycle_string(tl, pre, post,
-                                      omega_index=omega_index(omega))
+                                      omega_index=omega_index(omega),
+                                      FAS=fas)
             )
 
     best, program, pops, logbooks, hofs = optimizer.evolutionary_optimization(

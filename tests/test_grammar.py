@@ -156,3 +156,29 @@ class TestTextbookSeedString:
         np.testing.assert_allclose(
             np.asarray(ua[0]), np.asarray(ub[0]), rtol=1e-12, atol=1e-14
         )
+
+    def test_textbook_string_fas(self):
+        """FAS textbook strings parse under the nonlinear grammar (extra
+        trailing R on update_with_coarse_grid_correction, Picard/Newton
+        smoothers) and evaluate to a converging solver."""
+        from evostencils_tpu.backend.evaluation import JaxProgramGenerator
+        from evostencils_tpu.grammar.multigrid import (
+            generate_primitive_set, textbook_cycle_string,
+        )
+        from evostencils_tpu.problems.fas import fas_2d
+
+        problem = fas_2d(min_level=3, max_level=5, dtype=jnp.float64)
+        pset, tl = generate_primitive_set(
+            problem.approximation(), problem.rhs(), problem.dimension,
+            problem.coarsening_factors, problem.max_level, problem.equations,
+            problem.operators, problem.fields, depth=2,
+            maximum_local_system_size=4, FAS=True,
+        )
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        for smoother in ("jacobi_picard", "jacobi_newton"):
+            s = textbook_cycle_string(tl, 2, 2, omega_index=18, FAS=True,
+                                      smoother_name=smoother)
+            expr, _ = gp.compile_tree(gp.parse_tree(s, pset), pset)
+            t, rho, iters = gen.generate_and_evaluate(expr, evaluation_samples=1)
+            assert 0 < rho < 1.0, f"{smoother}: rho={rho}"
+            assert t < 1e50

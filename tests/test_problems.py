@@ -350,3 +350,19 @@ class TestHelmholtzRobin:
         assert np.allclose(center[5, 5], interior_val)
         assert center[0, 5] != center[5, 5]  # boundary-adjacent row modified
         assert abs(center[0, 5].imag) > 0  # complex radiation term
+
+
+class TestInitialStateSeed:
+    def test_rhs_seed_overrides_physical_rhs(self):
+        """rhs_seed forces a seeded random RHS even on problems with
+        physical RHS functions (sample-spread re-measurement protocol)."""
+        from evostencils_tpu.problems.poisson import poisson_2d
+
+        problem = poisson_2d(min_level=3, max_level=4, dtype=jnp.float64)
+        _, f_phys = problem.initial_state(jnp.float64)
+        _, f_a = problem.initial_state(jnp.float64, rhs_seed=1)
+        _, f_b = problem.initial_state(jnp.float64, rhs_seed=2)
+        _, f_a2 = problem.initial_state(jnp.float64, rhs_seed=1)
+        assert not np.allclose(np.asarray(f_a[0]), np.asarray(f_phys[0]))
+        assert not np.allclose(np.asarray(f_a[0]), np.asarray(f_b[0]))
+        np.testing.assert_array_equal(np.asarray(f_a[0]), np.asarray(f_a2[0]))
