@@ -508,14 +508,23 @@ class JaxProgramGenerator:
 
         def power_raw(e0, zf, omegas):
             def one_block(e):
-                def body(_, e):
-                    return step(e, zf, omegas)
+                # Renormalize EVERY cycle, accumulating log-norms: a block
+                # rate of ρ^block_len underflows f32 for very fast cycles
+                # (ρ ≲ 1e-4 → ‖e‖ < 1e-38 after 10 cycles), which used to
+                # read as machine-zero contraction (ZERO_RATE_CLAMP) and
+                # report ρ = 1e-16 for genuinely-finite champions.
+                def body(_, carry):
+                    e, log_acc = carry
+                    e = step(e, zf, omegas)
+                    n = jnp.real(sops.l2_norm(e))
+                    safe = jnp.where(n > 0, n, 1.0)
+                    e = tuple(x / safe for x in e)
+                    log_acc = log_acc + jnp.log(jnp.where(n > 0, n, 1e-300))
+                    return e, log_acc
 
-                e = jax.lax.fori_loop(0, block_len, body, e)
-                n = sops.l2_norm(e)
-                rate = jnp.real(n) ** (1.0 / block_len)
-                safe = jnp.where(jnp.real(n) > 0, jnp.real(n), 1.0)
-                e = tuple(x / safe for x in e)
+                zero = jnp.asarray(0.0, jnp.float32)
+                e, log_acc = jax.lax.fori_loop(0, block_len, body, (e, zero))
+                rate = jnp.exp(log_acc / block_len)
                 return e, rate
 
             def cond(carry):
