@@ -1065,6 +1065,7 @@ class Optimizer:
             self.fields,
             maximum_local_system_size=maximum_block_size,
             depth=levels,
+            FAS=bool(self._program_generator.uses_FAS()),
         )
         self._program_generator.initialize_code_generation(self.min_level, self.max_level)
         tree = gp.parse_tree(grammar_string, pset)

@@ -98,6 +98,7 @@ def main():
         problem.operators, problem.fields,
         depth=problem.max_level - problem.min_level,
         maximum_local_system_size=args.max_local_system_size,
+        FAS=bool(getattr(problem, "uses_fas", False)),
     )
     generator = JaxProgramGenerator(problem)
 
