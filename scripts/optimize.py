@@ -63,11 +63,13 @@ def main():
                              "(repeatable; e.g. a champion from a smaller-k "
                              "curriculum stage)")
     parser.add_argument("--seed-textbook", action="append", default=[],
-                        metavar="PRE,POST,OMEGA",
+                        metavar="PRE,POST,OMEGA[,SMOOTHER]",
                         help="seed a textbook V(PRE,POST) cycle at relaxation "
                              "OMEGA into the initial population (repeatable; "
                              "e.g. 2,1,0.6 for the reference Helmholtz "
-                             "default shape)")
+                             "default shape).  Optional 4th field picks the "
+                             "smoother production (collective_jacobi default; "
+                             "jacobi_picard/jacobi_newton for FAS problems)")
     parser.add_argument("--continue-from-checkpoint", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", default=None, help="result directory")
@@ -241,10 +243,13 @@ def main():
         for spec_str in args.seed_textbook:
             parts = spec_str.split(",")
             pre, post, omega = int(parts[0]), int(parts[1]), float(parts[2])
+            kwargs = {}
+            if len(parts) > 3:
+                kwargs["smoother_name"] = parts[3]
             seed_individuals.append(
                 textbook_cycle_string(tl, pre, post,
                                       omega_index=omega_index(omega),
-                                      FAS=fas)
+                                      FAS=fas, **kwargs)
             )
 
     best, program, pops, logbooks, hofs = optimizer.evolutionary_optimization(
