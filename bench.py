@@ -161,11 +161,16 @@ def main():
             "artifacts", "poisson2d_champion_r2_tuned.txt")
         tree_str, omegas = parse_champion_file(champ_path)
         expr, _ = gp.compile_tree(gp.parse_tree(tree_str, pset), pset)
-        apply_stored_omegas(expr, omegas, label="bench champion")
+        # Record whether the stored ω vector actually applied: on a
+        # count mismatch the bench would otherwise silently evaluate the
+        # untuned factors while labeling the result "tuned champion".
+        omegas_applied = apply_stored_omegas(
+            expr, omegas, label="bench champion")
         t0 = time.perf_counter()
         t_ms, rho, iters = generator.generate_and_evaluate(
             expr, evaluation_samples=3)
         champion = {"ran": True, "rho": round(rho, 5),
+                    "omegas_applied": bool(omegas_applied),
                     "iterations": iters,
                     "time_to_target_ms": round(t_ms, 3),
                     "eval_s": round(time.perf_counter() - t0, 2),

@@ -519,10 +519,17 @@ class JaxProgramGenerator:
                     n = jnp.real(sops.l2_norm(e))
                     safe = jnp.where(n > 0, n, 1.0)
                     e = tuple(x / safe for x in e)
-                    log_acc = log_acc + jnp.log(jnp.where(n > 0, n, 1e-300))
+                    # Dtype-aware floor: an exactly-zero norm contributes
+                    # log(tiny) (a huge negative rate → ZERO_RATE_CLAMP
+                    # downstream) instead of -inf.
+                    floor = jnp.finfo(n.dtype).tiny
+                    log_acc = log_acc + jnp.log(jnp.where(n > 0, n, floor))
                     return e, log_acc
 
-                zero = jnp.asarray(0.0, jnp.float32)
+                # Accumulator dtype follows the norm dtype so the carry
+                # stays consistent if the power path ever runs at 64-bit.
+                norm_dtype = jnp.real(sops.l2_norm(e)).dtype
+                zero = jnp.asarray(0.0, norm_dtype)
                 e, log_acc = jax.lax.fori_loop(0, block_len, body, (e, zero))
                 rate = jnp.exp(log_acc / block_len)
                 return e, rate
@@ -631,7 +638,7 @@ class JaxProgramGenerator:
             self.dtype, level=self._expression_level(expression),
             host=self._complex_io, rhs_seed=self.rhs_seed,
         )
-        rng = np.random.default_rng(7)
+        rng = np.random.default_rng(self._probe_error_seed())
         np_dtype = _np_dtype(self.dtype)
         e0 = self._state_to_realpairs(tuple(
             rng.standard_normal(np.asarray(x).shape).astype(np_dtype)
@@ -642,6 +649,14 @@ class JaxProgramGenerator:
         ))
         return (self._state_to_realpairs(u0_raw),
                 self._state_to_realpairs(f_raw), e0, zf)
+
+    def _probe_error_seed(self):
+        """Seed for the power-iteration error probe.  Default rng(7); when
+        ``rhs_seed`` is set (sample-spread re-measurement,
+        scripts/champion_stats.py) the probe error is reseeded too, so the
+        n-sample ρ spread on the f32/power path reflects distinct initial
+        error content rather than n identical measurements."""
+        return 7 if self.rhs_seed is None else 7 + int(self.rhs_seed)
 
     def _vmapped_power(self, key, expression, bucket: int, n_omegas: int,
                        program_extras=None):
@@ -1123,7 +1138,7 @@ class JaxProgramGenerator:
                 # same executable measures time per cycle (each iteration
                 # includes a residual-norm computation, matching the real
                 # solve's per-iteration work).
-                rng = np.random.default_rng(7)
+                rng = np.random.default_rng(self._probe_error_seed())
                 np_dtype = _np_dtype(self.dtype)
                 e0 = self._state_to_realpairs(tuple(
                     rng.standard_normal(np.asarray(x).shape).astype(np_dtype)

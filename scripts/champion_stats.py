@@ -61,8 +61,8 @@ def main():
                         help="champion artifact files (grammar string + "
                              "optional '# tuned omegas: [...]' line)")
     parser.add_argument("--problem", default="poisson2d")
-    parser.add_argument("--min-level", type=int, default=5)
-    parser.add_argument("--max-level", type=int, default=9)
+    parser.add_argument("--min-level", type=int, default=None)
+    parser.add_argument("--max-level", type=int, default=None)
     parser.add_argument("--samples", type=int, default=20)
     parser.add_argument("--max-local-system-size", type=int, default=8)
     parser.add_argument("--cpu", action="store_true")
@@ -86,6 +86,19 @@ def main():
     from evostencils_tpu.problems import build_named_problem
     from evostencils_tpu.utils.champions import (apply_stored_omegas,
                                                  parse_champion_file)
+
+    # Per-problem level defaults = each family's PUBLISHED champion config
+    # (RESULTS.md tables).  2D defaults silently misconfigured a 3D run in
+    # round 4 (511³ instead of the champion's 64³); explicit flags still
+    # override.
+    default_levels = {
+        "poisson2d": (5, 9), "poisson2d_var": (5, 9), "poisson3d": (2, 6),
+        "elasticity": (5, 8), "helmholtz": (3, 7), "fas": (5, 9),
+    }.get(args.problem, (5, 9))
+    if args.min_level is None:
+        args.min_level = default_levels[0]
+    if args.max_level is None:
+        args.max_level = default_levels[1]
 
     problem = build_named_problem(args.problem, args.min_level, args.max_level)
     if args.dtype:

@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--max-level", type=int, default=9)
     parser.add_argument("--max-local-system-size", type=int, default=8)
     parser.add_argument("--iterations", type=int, default=50)
+    parser.add_argument("--samples", type=int, default=3,
+                        help="re-measurement samples before/after tuning "
+                             "(median ρ is written to the artifact header; "
+                             "single-sample numbers caused the round-3 "
+                             "elasticity confusion)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--suffix", default="_tuned")
     args = parser.parse_args()
@@ -56,18 +61,35 @@ def main():
         FAS=bool(getattr(problem, "uses_fas", False)),
     )
     generator = JaxProgramGenerator(problem)
+
+    def _measure(expr):
+        """Median (ρ, iterations) over --samples seeded-RHS measurements
+        (distinct rhs_seed per sample, as scripts/champion_stats.py)."""
+        import statistics
+
+        rhos, its = [], []
+        for s in range(max(1, args.samples)):
+            generator.rhs_seed = 1000 + s
+            _, rho, it = generator.generate_and_evaluate(
+                expr, evaluation_samples=1)
+            rhos.append(float(rho))
+            its.append(it)
+        generator.rhs_seed = None
+        return statistics.median(rhos), sorted(its)[len(its) // 2]
+
     for path in args.champions:
         tree_str, _ = parse_champion_file(path)
         expr, _ = gp.compile_tree(gp.parse_tree(tree_str, pset), pset)
-        _, rho0, it0 = generator.generate_and_evaluate(expr, evaluation_samples=1)
+        rho0, it0 = _measure(expr)
         tuned, _ = tune_relaxation_factors(
             expr, generator.problem, iterations=args.iterations)
-        _, rho1, it1 = generator.generate_and_evaluate(expr, evaluation_samples=1)
+        rho1, it1 = _measure(expr)
         out = os.path.splitext(path)[0] + args.suffix + ".txt"
         with open(out, "w") as fh:
             fh.write(tree_str + "\n")
             fh.write(f"# tuned omegas: {[round(w, 4) for w in tuned]}\n")
-            fh.write(f"# rho: {rho0} -> {rho1}; iters {it0} -> {it1}\n")
+            fh.write(f"# rho (median of {args.samples}): {rho0} -> {rho1}; "
+                     f"iters {it0} -> {it1}\n")
         print(f"{path}: rho {rho0:.4f} -> {rho1:.4f}, iters {it0} -> {it1} "
               f"-> {out}", flush=True)
     return 0
