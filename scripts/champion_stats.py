@@ -65,6 +65,12 @@ def main():
     parser.add_argument("--max-level", type=int, default=None)
     parser.add_argument("--samples", type=int, default=20)
     parser.add_argument("--max-local-system-size", type=int, default=8)
+    parser.add_argument("--helmholtz-k0", type=float, default=None,
+                        help="wavenumber for --problem helmholtz (default "
+                             "80; pass 160/320 for the upper ladder rungs)")
+    parser.add_argument("--outer-cap", type=int, default=None,
+                        help="outer-solver iteration cap override "
+                             "(Helmholtz rungs need 12000-20000)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dtype", default=None)
     parser.add_argument("--json", default=None, help="also write a JSON report")
@@ -100,7 +106,19 @@ def main():
     if args.max_level is None:
         args.max_level = default_levels[1]
 
-    problem = build_named_problem(args.problem, args.min_level, args.max_level)
+    if args.problem == "helmholtz" and args.helmholtz_k0 is not None:
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d
+
+        problem = helmholtz_2d(min_level=args.min_level,
+                               max_level=args.max_level,
+                               k=args.helmholtz_k0)
+    else:
+        problem = build_named_problem(
+            args.problem, args.min_level, args.max_level)
+    if args.outer_cap and getattr(problem, "outer_solver", None):
+        problem = problem._clone(
+            outer_solver=dict(problem.outer_solver,
+                              max_iterations=args.outer_cap))
     if args.dtype:
         if "64" in args.dtype or "128" in args.dtype:
             jax.config.update("jax_enable_x64", True)
@@ -117,6 +135,8 @@ def main():
 
     report = {"problem": args.problem,
               "levels": [args.min_level, args.max_level],
+              "helmholtz_k0": args.helmholtz_k0,
+              "outer_cap": args.outer_cap,
               "samples": args.samples,
               "platform": jax.devices()[0].platform,
               "champions": []}
