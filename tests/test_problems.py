@@ -282,6 +282,33 @@ class TestFAS:
             evaluated += 1
         assert evaluated == 4
 
+    def test_protocol_champion_regression(self):
+        """Pin the round-5 protocol-scale FAS champion (SOGP, μ=λ=16 × 20
+        generations, 512² levels 5–9): the stored grammar string must
+        re-parse through the FAS pset and keep beating the textbook FAS
+        V(2,2) baselines (n=20 medians: champion ρ 0.187 / 14 its vs
+        Newton 0.577 / 42, Picard 0.515 / 35.5 — see
+        artifacts/fas_stats_n20_r5.json).  Reference protocol anchor:
+        code_generation/exastencils_FAS.py:369-426."""
+        import random
+
+        from evostencils_tpu.optimization.optimizer import Optimizer
+
+        with open("artifacts/fas_champion_r5.txt") as f:
+            champion = "".join(
+                line for line in f if not line.startswith("#")
+            ).strip()
+        problem = fas_2d(min_level=5, max_level=9, dtype=jnp.float64)
+        gen = JaxProgramGenerator(problem, dtype=jnp.float64)
+        opt = Optimizer.for_problem(
+            problem, program_generator=gen, rng=random.Random(0)
+        )
+        _, rho, iters = opt.generate_and_evaluate_program_from_grammar_representation(
+            champion, 8, evaluation_samples=1
+        )
+        assert rho < 0.25
+        assert iters <= 16
+
     def test_nonlinear_generator_protocol(self):
         gen = NonlinearLambdaExpGenerator(gamma=20.0)
         u = jnp.asarray(np.linspace(-1, 1, 16).reshape(4, 4))
