@@ -302,10 +302,22 @@ def main():
         t1v, rho1, it1 = generator.generate_and_evaluate(expr, evaluation_samples=3)
         print(f"Gradient-tuned relaxation factors: rho {rho0:.4f} -> {rho1:.4f}, "
               f"iterations {it0} -> {it1}")
-        with open(os.path.join(output_dir, "individual_0_tuned.txt"), "w") as f:
-            f.write(str(gp.parse_tree(best, optimizer._pset)) + "\n")
-            f.write(f"# tuned omegas: {[round(w, 4) for w in tuned]}\n")
-            f.write(f"# rho: {rho0} -> {rho1}\n")
+        # The tuner's linear asymptotic probe can DEGRADE nonlinear (FAS)
+        # champions (round 5: rho 0.0029 -> 0.93 on the FAS champion).
+        # Only publish the tuned artifact when it actually improved; always
+        # record both measurements so a regression is visible.
+        if rho1 <= rho0:
+            with open(os.path.join(output_dir, "individual_0_tuned.txt"), "w") as f:
+                f.write(str(gp.parse_tree(best, optimizer._pset)) + "\n")
+                f.write(f"# tuned omegas: {[round(w, 4) for w in tuned]}\n")
+                f.write(f"# rho: {rho0} -> {rho1}\n")
+        else:
+            print("Tuned omegas degraded the champion; keeping the untuned "
+                  "string (tuner probe assumes a linear cycle operator).")
+            with open(os.path.join(output_dir, "individual_0_tune_rejected.txt"),
+                      "w") as f:
+                f.write(f"# tuning REJECTED: rho {rho0} -> {rho1}\n")
+                f.write(f"# rejected omegas: {[round(w, 4) for w in tuned]}\n")
 
     print(f"Results written to {output_dir}/")
     return 0
