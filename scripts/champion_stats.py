@@ -42,16 +42,23 @@ def _stats(values):
     }
 
 
-def measure(generator, expr, samples, base_seed=1000):
-    """Per-sample (time_ms, rho, iterations) lists over seeded RHS."""
+def measure(generator, expr, samples, base_seed=1000, vary="rhs"):
+    """Per-sample (time_ms, rho, iterations) lists over seeded samples.
+
+    ``vary="rhs"`` seeds a random right-hand side per sample (the default
+    spread protocol); ``vary="init"`` seeds a random INITIAL GUESS and
+    keeps the physical RHS — the protocol that still converges on
+    indefinite problems (Helmholtz k≥160), where a white-noise RHS puts
+    full energy into near-resonant modes and every solver stagnates."""
     times, rhos, its = [], [], []
+    attr = "init_seed" if vary == "init" else "rhs_seed"
     for s in range(samples):
-        generator.rhs_seed = base_seed + s
+        setattr(generator, attr, base_seed + s)
         t, rho, n = generator.generate_and_evaluate(expr, evaluation_samples=1)
         times.append(float(t))
         rhos.append(float(rho))
         its.append(int(n) if n < 1e18 else n)
-    generator.rhs_seed = None
+    setattr(generator, attr, None)
     return times, rhos, its
 
 
@@ -71,6 +78,12 @@ def main():
     parser.add_argument("--outer-cap", type=int, default=None,
                         help="outer-solver iteration cap override "
                              "(Helmholtz rungs need 12000-20000)")
+    parser.add_argument("--vary", choices=("rhs", "init"), default="rhs",
+                        help="per-sample randomization: 'rhs' = seeded "
+                             "random right-hand side (default); 'init' = "
+                             "seeded random initial guess with the "
+                             "physical RHS (the convergent protocol for "
+                             "indefinite Helmholtz rungs)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dtype", default=None)
     parser.add_argument("--json", default=None, help="also write a JSON report")
@@ -137,6 +150,7 @@ def main():
               "levels": [args.min_level, args.max_level],
               "helmholtz_k0": args.helmholtz_k0,
               "outer_cap": args.outer_cap,
+              "vary": args.vary,
               "samples": args.samples,
               "platform": jax.devices()[0].platform,
               "champions": []}
@@ -149,7 +163,8 @@ def main():
             expr, _ = gp.compile_tree(gp.parse_tree(tree_str, pset), pset)
             if use_omegas and not apply_stored_omegas(expr, omegas, label=path):
                 continue
-            times, rhos, its = measure(generator, expr, args.samples)
+            times, rhos, its = measure(generator, expr, args.samples,
+                                       vary=args.vary)
             entry[label] = {
                 "rho": _stats(rhos),
                 "time_to_target_ms": _stats(times),
