@@ -49,16 +49,20 @@ def measure(generator, expr, samples, base_seed=1000, vary="rhs"):
     spread protocol); ``vary="init"`` seeds a random INITIAL GUESS and
     keeps the physical RHS — the protocol that still converges on
     indefinite problems (Helmholtz k≥160), where a white-noise RHS puts
-    full energy into near-resonant modes and every solver stagnates."""
+    full energy into near-resonant modes and every solver stagnates.
+    ``vary="none"`` repeats the identical fixed-RHS zero-guess solve —
+    the reference's literal 20-sample re-eval (timing noise only)."""
     times, rhos, its = [], [], []
-    attr = "init_seed" if vary == "init" else "rhs_seed"
+    attr = {"init": "init_seed", "rhs": "rhs_seed", "none": None}[vary]
     for s in range(samples):
-        setattr(generator, attr, base_seed + s)
+        if attr is not None:
+            setattr(generator, attr, base_seed + s)
         t, rho, n = generator.generate_and_evaluate(expr, evaluation_samples=1)
         times.append(float(t))
         rhos.append(float(rho))
         its.append(int(n) if n < 1e18 else n)
-    setattr(generator, attr, None)
+    if attr is not None:
+        setattr(generator, attr, None)
     return times, rhos, its
 
 
@@ -78,12 +82,16 @@ def main():
     parser.add_argument("--outer-cap", type=int, default=None,
                         help="outer-solver iteration cap override "
                              "(Helmholtz rungs need 12000-20000)")
-    parser.add_argument("--vary", choices=("rhs", "init"), default="rhs",
+    parser.add_argument("--vary", choices=("rhs", "init", "none"),
+                        default="rhs",
                         help="per-sample randomization: 'rhs' = seeded "
                              "random right-hand side (default); 'init' = "
                              "seeded random initial guess with the "
                              "physical RHS (the convergent protocol for "
-                             "indefinite Helmholtz rungs)")
+                             "indefinite Helmholtz rungs); 'none' = "
+                             "repeat the identical fixed-RHS solve "
+                             "(timing noise only, the reference's "
+                             "literal 20-sample re-eval)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dtype", default=None)
     parser.add_argument("--json", default=None, help="also write a JSON report")
