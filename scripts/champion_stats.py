@@ -92,6 +92,10 @@ def main():
                              "repeat the identical fixed-RHS solve "
                              "(timing noise only, the reference's "
                              "literal 20-sample re-eval)")
+    parser.add_argument("--tuned-only", action="store_true",
+                        help="measure only the stored-tuned-ω row of each "
+                             "artifact (skips the untuned row — halves the "
+                             "cost when only the tuned comparison matters)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dtype", default=None)
     parser.add_argument("--json", default=None, help="also write a JSON report")
@@ -167,6 +171,8 @@ def main():
         entry = {"file": path, "has_stored_omegas": omegas is not None}
         for label, use_omegas in (("untuned", False), ("tuned", True)):
             if use_omegas and omegas is None:
+                continue
+            if args.tuned_only and not use_omegas and omegas is not None:
                 continue
             expr, _ = gp.compile_tree(gp.parse_tree(tree_str, pset), pset)
             if use_omegas and not apply_stored_omegas(expr, omegas, label=path):
