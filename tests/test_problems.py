@@ -125,6 +125,35 @@ class TestHelmholtz:
             isinstance(k, tuple) and k[0] == "outer" for k in gen._solver_cache
         )
 
+    def test_k320_champion_regression(self):
+        """Pin the round-5 k=320 evolved champion (RESULTS R5.9): the
+        single collective-Jacobi sweep must still converge the k=320
+        outer BiCGStab to 1e-7 well under the default 10000 cap
+        (measured 6515 outer its / 4.13 s; the per-k tuned textbook
+        V(2,2) needs 2246 its but 4.7× the time).  Reference ladder
+        anchor: scripts/optimize.py:34-37."""
+        import random
+
+        from evostencils_tpu.optimization.optimizer import Optimizer
+
+        with open("artifacts/helmholtz_k320_r5/individual_0.txt") as f:
+            champion = "".join(
+                line for line in f if not line.startswith("#")
+            ).strip()
+        problem = helmholtz_2d(min_level=3, max_level=7, k=320.0,
+                               dtype=jnp.complex128)
+        gen = JaxProgramGenerator(problem, dtype=jnp.complex128)
+        opt = Optimizer.for_problem(
+            problem, program_generator=gen, rng=random.Random(0)
+        )
+        t, _, iters = (
+            opt.generate_and_evaluate_program_from_grammar_representation(
+                champion, 4, evaluation_samples=1
+            )
+        )
+        assert t < 1e50
+        assert iters <= 8000
+
     def test_probe_kills_hopeless_preconditioner_without_full_solve(self):
         """A divergent preconditioner must die at the short probe stage
         with an informative (finite-or-ordered) ρ, and the full-cap outer
